@@ -1,0 +1,334 @@
+"""Vectorized constraint evaluation over the CE domain.
+
+This is where the reference's per-chunk CPU interpreter (src/eval_cpu.rs) and
+abandoned one-kernel-per-node GPU evaluator (src/eval_gpu.rs) become a single
+jitted whole-array program: the CSE'd composition DAG is walked once at trace
+time; every node becomes array ops over the full CE domain, and XLA fuses the
+lot into a handful of HBM passes.  Divisions become batched inversions
+(Montgomery-trick scans), trace offsets become `jnp.roll` by
+``offset * ce_blowup`` (the reference's cyclic `(i + step*offset) mod n`
+indexing, src/eval_cpu.rs:115-134).
+
+Values carry an Fp-vs-Fq tag implementing the reference's FieldVariant
+promotion rules (src/utils.rs:329-357): Fp op Fq promotes to Fq.  Constants
+stay host scalars until an array op forces materialization, so pure-constant
+subtrees are folded for free.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .expression import (
+    Challenge,
+    CompositionCoeff,
+    Constant,
+    Hint,
+    Periodic,
+    Trace,
+    X,
+)
+from .fields import device as fd
+from .fields.scalar import Fp, Fq3, P
+
+
+class _Val:
+    """Tagged evaluation value: host scalar constant or device array."""
+
+    __slots__ = ("kind", "v", "is_const")
+
+    def __init__(self, kind: str, v: Any, is_const: bool):
+        self.kind = kind  # 'fp' | 'fq'
+        self.v = v
+        self.is_const = is_const
+
+
+class VectorEvaluator:
+    """Evaluates an Expr DAG over arrays of domain points.
+
+    Parameters:
+      n: domain size;
+      ce_blowup: row-offset step (lde_step in the reference);
+      fq_is_ext: whether Fq is the cubic extension (False when Fq == Fp).
+    """
+
+    def __init__(self, n: int, ce_blowup: int, fq_is_ext: bool):
+        self.n = n
+        self.ce_blowup = ce_blowup
+        self.fq_is_ext = fq_is_ext
+
+    # -- constants -----------------------------------------------------------
+
+    def _const_val(self, c) -> _Val:
+        if isinstance(c, Fq3):
+            return _Val("fq", c, True)
+        return _Val("fp", c if isinstance(c, Fp) else Fp(c), True)
+
+    def _materialize(self, a: _Val) -> _Val:
+        if not a.is_const:
+            return a
+        if a.kind == "fp":
+            return _Val("fp", fd.full((self.n,), a.v.v), False)
+        c = a.v if isinstance(a.v, Fq3) else Fq3.from_base(a.v)
+        return _Val(
+            "fq",
+            (fd.full((self.n,), c.c0.v), fd.full((self.n,), c.c1.v), fd.full((self.n,), c.c2.v)),
+            False,
+        )
+
+    def _promote(self, a: _Val, kind: str) -> _Val:
+        """Promote fp -> fq when fq is an extension; no-op otherwise."""
+        if a.kind == kind or kind == "fp" or not self.fq_is_ext:
+            if a.kind != kind:
+                return _Val(kind, a.v, a.is_const)
+            return a
+        if a.is_const:
+            return _Val("fq", Fq3.from_base(a.v), True)
+        return _Val("fq", fd.ext3_from_base(a.v), False)
+
+    # -- ops with promotion --------------------------------------------------
+
+    def _binop(self, a: _Val, b: _Val, fp_op, fq_op, scalar_op) -> _Val:
+        kind = "fq" if (a.kind == "fq" or b.kind == "fq") else "fp"
+        if a.is_const and b.is_const:
+            return _Val(kind, scalar_op(a.v, b.v), True)
+        a = self._materialize(self._promote(a, kind))
+        b = self._materialize(self._promote(b, kind))
+        op = fq_op if (kind == "fq" and self.fq_is_ext) else fp_op
+        return _Val(kind, op(a.v, b.v), False)
+
+    def add(self, a, b):
+        return self._binop(a, b, fd.add, fd.ext3_add, lambda x, y: x + y)
+
+    def mul(self, a, b):
+        return self._binop(a, b, fd.mul, fd.ext3_mul, lambda x, y: x * y)
+
+    def neg(self, a: _Val) -> _Val:
+        if a.is_const:
+            return _Val(a.kind, -a.v, True)
+        op = fd.ext3_neg if (a.kind == "fq" and self.fq_is_ext) else fd.neg
+        return _Val(a.kind, op(a.v), False)
+
+    def div(self, a: _Val, b: _Val) -> _Val:
+        if b.is_const:
+            return self.mul(a, _Val(b.kind, b.v.inverse(), True))
+        binv = _Val(
+            b.kind,
+            fd.ext3_batch_inv(b.v) if (b.kind == "fq" and self.fq_is_ext) else fd.batch_inv(b.v),
+            False,
+        )
+        return self.mul(a, binv)
+
+    def pow(self, a: _Val, e: int) -> _Val:
+        if a.is_const:
+            return _Val(a.kind, a.v ** e, True)
+        op = fd.ext3_pow_const if (a.kind == "fq" and self.fq_is_ext) else fd.pow_const
+        return _Val(a.kind, op(a.v, e), False)
+
+    # -- leaf handling -------------------------------------------------------
+
+    def leaf_value(self, leaf, ctx) -> _Val:
+        """ctx: dict with x_lde (Fp2 array), base_cols (list of Fp2 columns),
+        ext_cols (list of Ext3 columns), challenges, hints (scalar lists),
+        composition_coeffs (scalar list), trace_len."""
+        if isinstance(leaf, X):
+            return _Val("fp", ctx["x_lde"], False)
+        if isinstance(leaf, Constant):
+            return self._const_val(leaf.value)
+        if isinstance(leaf, Challenge):
+            return self._const_val(ctx["challenges"][leaf.index])
+        if isinstance(leaf, Hint):
+            return self._const_val(ctx["hints"][leaf.index])
+        if isinstance(leaf, CompositionCoeff):
+            return self._const_val(ctx["composition_coeffs"][leaf.index])
+        if isinstance(leaf, Trace):
+            shift = self.ce_blowup * leaf.offset
+            num_base = len(ctx["base_cols"])
+            if leaf.column < num_base:
+                col = ctx["base_cols"][leaf.column]
+                rolled = (jnp.roll(col[0], -shift), jnp.roll(col[1], -shift))
+                return _Val("fp", rolled, False)
+            col = ctx["ext_cols"][leaf.column - num_base]
+            rolled = tuple((jnp.roll(c[0], -shift), jnp.roll(c[1], -shift)) for c in col)
+            return _Val("fq", rolled, False)
+        if isinstance(leaf, Periodic):
+            # value at x = P_coeffs(x^(trace_len / interval_size))
+            # (src/verifier.rs:221-230 semantics)
+            k = ctx["trace_len"] // leaf.interval_size
+            base = _Val("fp", fd.pow_const(ctx["x_lde"], k), False)
+            acc = self._const_val(leaf.coeffs[-1])
+            for c in reversed(leaf.coeffs[:-1]):
+                acc = self.add(self.mul(acc, base), self._const_val(c))
+            return acc
+        raise TypeError(f"unknown leaf {leaf!r}")
+
+    # -- driver --------------------------------------------------------------
+
+    def evaluate_raw(self, expr, ctx) -> _Val:
+        """Memoized DAG evaluation returning a tagged _Val.
+
+        If ctx contains "_div_inverses" (str key -> device inverse array) and
+        "_key_memo" (id(denominator node) -> str key), Div nodes with a
+        precomputed denominator inverse become multiplications."""
+        div_inverses = ctx.get("_div_inverses")
+        key_memo = ctx.get("_key_memo", {})
+        memo = {}
+        for node in expr.postorder_unique():
+            nid = id(node)
+            if node.op == "leaf":
+                memo[nid] = self.leaf_value(node.leaf, ctx)
+            elif node.op == "neg":
+                memo[nid] = self.neg(memo[id(node.a)])
+            elif node.op == "add":
+                memo[nid] = self.add(memo[id(node.a)], memo[id(node.b)])
+            elif node.op == "mul":
+                memo[nid] = self.mul(memo[id(node.a)], memo[id(node.b)])
+            elif node.op == "div":
+                inv = None
+                if div_inverses is not None:
+                    k = key_memo.get(id(node.b))
+                    if k is not None:
+                        inv = div_inverses.get(k)
+                if inv is not None:
+                    # Ext3 is a tuple of limb-pairs; Fp2 is a pair of arrays
+                    kind = "fq" if self.fq_is_ext and isinstance(inv[0], tuple) else "fp"
+                    memo[nid] = self.mul(memo[id(node.a)], _Val(kind, inv, False))
+                else:
+                    memo[nid] = self.div(memo[id(node.a)], memo[id(node.b)])
+            elif node.op == "pow":
+                memo[nid] = self.pow(memo[id(node.a)], node.exp)
+            else:
+                raise ValueError(node.op)
+        return memo[id(expr)]
+
+    def evaluate(self, expr, ctx):
+        """Returns the final value as a device array promoted to Fq."""
+        out = self.evaluate_raw(expr, ctx)
+        out = self._materialize(self._promote(out, "fq"))
+        return out.v
+
+
+def _structural_key(node, memo):
+    """Structural hash key of a DAG node (for cross-term denominator dedup)."""
+    nid = id(node)
+    if nid in memo:
+        return memo[nid]
+    if node.op == "leaf":
+        k = ("leaf", node.leaf.key())
+    elif node.op in ("neg",):
+        k = ("neg", _structural_key(node.a, memo))
+    elif node.op == "pow":
+        k = ("pow", _structural_key(node.a, memo), node.exp)
+    else:
+        k = (node.op, _structural_key(node.a, memo), _structural_key(node.b, memo))
+    memo[nid] = k
+    return k
+
+
+def _top_sum_terms(expr):
+    """Split the composition expression at its top-level Add spine: one term
+    per constraint (air.compose_constraints builds a left-fold sum)."""
+    terms = []
+    stack = [expr]
+    while stack:
+        node = stack.pop()
+        if node.op == "add":
+            stack.append(node.a)
+            stack.append(node.b)
+        else:
+            terms.append(node)
+    return terms
+
+
+def eval_composition(
+    air,
+    composition_coeffs,
+    challenges,
+    hints,
+    x_lde,
+    base_cols,
+    ext_cols,
+):
+    """Evaluate the air's composition constraint over the CE domain.
+
+    Device inputs: x_lde (Fp2, natural order over CE domain), base_cols (list
+    of Fp2 CE-domain column LDEs), ext_cols (list of Ext3 or None).
+
+    Compilation strategy: XLA compile time is superlinear in graph size, so
+    instead of tracing the whole composition DAG into one program we
+      1. hoist every Div denominator, batch-inverting each DISTINCT
+         denominator exactly once (also a runtime win: the reference
+         re-inverts per Div node, src/eval_cpu.rs:280-295);
+      2. evaluate the sum one constraint-term at a time, each as its own
+         modest jitted program, accumulating on device.
+    The arithmetic (mod-p exact) is identical to single-program evaluation.
+
+    Returns the composition evaluations as an Fq device array (Ext3 if the
+    air's Fq is the cubic extension, else Fp2).
+    """
+    fq_is_ext = getattr(air.config, "fq_type", Fp) is Fq3
+    n = air.trace_len * air.ce_blowup_factor
+    ev = VectorEvaluator(n, air.ce_blowup_factor, fq_is_ext)
+    ctx = {
+        "x_lde": x_lde,
+        "base_cols": base_cols,
+        "ext_cols": ext_cols or [],
+        "challenges": list(challenges),
+        "hints": list(hints),
+        "composition_coeffs": list(composition_coeffs),
+        "trace_len": air.trace_len,
+    }
+
+    expr = air.composition_constraint.expr
+    terms = _top_sum_terms(expr)
+
+    # -- phase 1: denominator inverses, deduped structurally -----------------
+    # (string keys: jit canonicalizes dict pytrees by sorting keys)
+    raw_memo = {}
+    key_memo = {}
+    denom_by_key = {}
+    for node in expr.postorder_unique():
+        if node.op == "div":
+            k = repr(_structural_key(node.b, raw_memo))
+            key_memo[id(node.b)] = k
+            denom_by_key.setdefault(k, node.b)
+
+    inv_by_key = {}
+    for k, dnode in denom_by_key.items():
+        def run_denom(x_lde_in, base_in, ext_in, dnode=dnode):
+            c = dict(ctx)
+            c["x_lde"] = x_lde_in
+            c["base_cols"] = base_in
+            c["ext_cols"] = ext_in
+            val = ev._materialize(ev.evaluate_raw(dnode, c))
+            if val.kind == "fq" and fq_is_ext:
+                return fd.ext3_batch_inv(val.v)
+            return fd.batch_inv(val.v)
+        inv_by_key[k] = jax.jit(run_denom)(x_lde, base_cols, ext_cols or [])
+
+    # -- phase 2: per-term evaluation, accumulate ----------------------------
+    @jax.jit
+    def add_fq(acc, term):
+        if fq_is_ext:
+            return fd.ext3_add(acc, term)
+        return fd.add(acc, term)
+
+    acc = None
+    for term in terms:
+        def run_term(x_lde_in, base_in, ext_in, invs, term=term):
+            c = dict(ctx)
+            c["x_lde"] = x_lde_in
+            c["base_cols"] = base_in
+            c["ext_cols"] = ext_in
+            c["_div_inverses"] = invs
+            c["_key_memo"] = key_memo
+            out = ev.evaluate_raw(term, c)
+            out = ev._materialize(ev._promote(out, "fq"))
+            return out.v
+        tv = jax.jit(run_term)(x_lde, base_cols, ext_cols or [], inv_by_key)
+        acc = tv if acc is None else add_fq(acc, tv)
+    return acc

@@ -259,6 +259,30 @@ def inv(a: Fp2) -> Fp2:
     return pow_const(a, P - 2)
 
 
+def _host_inv_np(lo, hi):
+    vals = np.asarray(lo, np.uint64) | (np.asarray(hi, np.uint64) << np.uint64(32))
+    out = np.empty(vals.shape, np.uint64)
+    flat_in = vals.ravel()
+    flat_out = out.ravel()
+    for i in range(flat_in.size):
+        v = int(flat_in[i])
+        flat_out[i] = pow(v, P - 2, P) if v else 0
+    return ((out & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (out >> np.uint64(32)).astype(np.uint32))
+
+
+def inv_via_host(a: Fp2) -> Fp2:
+    """Inverse of a SMALL array via host callback.
+
+    The Fermat chain is ~100 field muls -> a ~25k-HLO graph that XLA:CPU
+    compiles for half a minute; for the handful of per-proof scalar inverses
+    (batch-inversion totals) a host round-trip is far cheaper on every axis.
+    """
+    shape = jnp.shape(a[0])
+    result_shape = (jax.ShapeDtypeStruct(shape, U32), jax.ShapeDtypeStruct(shape, U32))
+    return tuple(jax.pure_callback(_host_inv_np, result_shape, a[0], a[1]))
+
+
 def select(mask, a: Fp2, b: Fp2) -> Fp2:
     return (jnp.where(mask, a[0], b[0]), jnp.where(mask, a[1], b[1]))
 
@@ -267,49 +291,68 @@ def is_zero(a: Fp2):
     return (a[0] == 0) & (a[1] == 0)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def batch_inv(a: Fp2, axis: int = -1) -> Fp2:
-    """Batched inversion (Montgomery trick) along `axis` using two
-    associative scans + one Fermat inverse of the total product.
+def _shifted_prefix_products(a: Fp2, axis: int):
+    """Hillis-Steele prefix products: log2(n) shift-multiply passes.
 
-    inv(a[i]) = prefix(i-1) * suffix(i+1) * inv(total)
-    All inputs must be nonzero.
-    """
-    axis = axis % a[0].ndim
-
-    def combine(x, y):
-        return mul(x, y)
-
-    pref = jax.lax.associative_scan(combine, a, axis=axis)
-    suff = jax.lax.associative_scan(combine, a, axis=axis, reverse=True)
+    Chosen over lax.associative_scan because its unrolled lowering is tiny
+    (one field-mul + one pad per level) — XLA compile time is superlinear in
+    graph size and our field ops are ~10^2 HLO each.  Returns EXCLUSIVE
+    prefix products (ones at position 0)."""
     n = a[0].shape[axis]
-    total = (jnp.take(pref[0], n - 1, axis=axis), jnp.take(pref[1], n - 1, axis=axis))
-    tinv = inv(total)
-    one_shape = list(a[0].shape)
-    one_shape[axis] = 1
 
-    def shift(x, rev):
-        # rev=False: prepend ones dropping last; rev=True: append ones dropping first
+    def shift_right(x, k):
         lo, hi = x
-        ol = jnp.ones(one_shape, U32)
-        oh = jnp.zeros(one_shape, U32)
-        if not rev:
-            lo = jnp.concatenate([ol, jax.lax.slice_in_dim(lo, 0, n - 1, axis=axis)], axis=axis)
-            hi = jnp.concatenate([oh, jax.lax.slice_in_dim(hi, 0, n - 1, axis=axis)], axis=axis)
-        else:
-            lo = jnp.concatenate([jax.lax.slice_in_dim(lo, 1, n, axis=axis), ol], axis=axis)
-            hi = jnp.concatenate([jax.lax.slice_in_dim(hi, 1, n, axis=axis), oh], axis=axis)
+        ol = jnp.ones_like(jax.lax.slice_in_dim(lo, 0, k, axis=axis))
+        oh = jnp.zeros_like(ol)
+        lo = jnp.concatenate([ol, jax.lax.slice_in_dim(lo, 0, n - k, axis=axis)], axis=axis)
+        hi = jnp.concatenate([oh, jax.lax.slice_in_dim(hi, 0, n - k, axis=axis)], axis=axis)
         return lo, hi
 
-    pref_excl = shift(pref, rev=False)
-    suff_excl = shift(suff, rev=True)
+    pref = shift_right(a, 1)  # exclusive
+    k = 1
+    while k < n:
+        pref = mul(pref, shift_right(pref, k))
+        k *= 2
+    return pref
+
+
+def _shifted_suffix_products(a: Fp2, axis: int):
+    """Exclusive suffix products (ones at the last position)."""
+    n = a[0].shape[axis]
+
+    def shift_left(x, k):
+        lo, hi = x
+        ol = jnp.ones_like(jax.lax.slice_in_dim(lo, 0, k, axis=axis))
+        oh = jnp.zeros_like(ol)
+        lo = jnp.concatenate([jax.lax.slice_in_dim(lo, k, n, axis=axis), ol], axis=axis)
+        hi = jnp.concatenate([jax.lax.slice_in_dim(hi, k, n, axis=axis), oh], axis=axis)
+        return lo, hi
+
+    suff = shift_left(a, 1)
+    k = 1
+    while k < n:
+        suff = mul(suff, shift_left(suff, k))
+        k *= 2
+    return suff
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def batch_inv(a: Fp2, axis: int = -1) -> Fp2:
+    """Batched inversion (Montgomery trick):
+    inv(a[i]) = prefix(i-1) * suffix(i+1) * inv(total).
+    All inputs must be nonzero; the single total inverse goes to the host."""
+    axis = axis % a[0].ndim
+    pref_excl = _shifted_prefix_products(a, axis)
+    suff_excl = _shifted_suffix_products(a, axis)
+    n = a[0].shape[axis]
+    last_pref = (jnp.take(pref_excl[0], n - 1, axis=axis),
+                 jnp.take(pref_excl[1], n - 1, axis=axis))
+    last_a = (jnp.take(a[0], n - 1, axis=axis), jnp.take(a[1], n - 1, axis=axis))
+    total = mul(last_pref, last_a)
+    tinv = inv_via_host(total)
     tinv_b = (
-        jnp.broadcast_to(jnp.expand_dims(tinv[0], axis), a[0].shape)
-        if tinv[0].ndim != a[0].ndim
-        else tinv[0],
-        jnp.broadcast_to(jnp.expand_dims(tinv[1], axis), a[1].shape)
-        if tinv[1].ndim != a[1].ndim
-        else tinv[1],
+        jnp.broadcast_to(jnp.expand_dims(tinv[0], axis), a[0].shape),
+        jnp.broadcast_to(jnp.expand_dims(tinv[1], axis), a[1].shape),
     )
     return mul(mul(pref_excl, suff_excl), tinv_b)
 
@@ -390,59 +433,35 @@ def ext3_pow_const(a: Ext3, e: int) -> Ext3:
     return result
 
 
-def ext3_inv(a: Ext3) -> Ext3:
+def ext3_inv(a: Ext3, host_scalar_inv: bool = False) -> Ext3:
     """Cubic-extension inverse (see fields.scalar.Fq3.inverse)."""
     c0, c1, c2 = a
     v0 = sub(sqr(c0), mul_const(mul(c1, c2), NR))
     v1 = sub(mul_const(sqr(c2), NR), mul(c0, c1))
     v2 = sub(sqr(c1), mul(c0, c2))
     norm = add(mul(c0, v0), mul_const(add(mul(c2, v1), mul(c1, v2)), NR))
-    ninv = inv(norm)
+    ninv = inv_via_host(norm) if host_scalar_inv else inv(norm)
     return (mul(v0, ninv), mul(v1, ninv), mul(v2, ninv))
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def ext3_batch_inv(a: Ext3, axis: int = -1) -> Ext3:
+    """Batched Fq3 inversion via the norm map: for w = a + b*u + c*u^2 with
+    u^3 = 2,  1/w = (v0 + v1*u + v2*u^2) / N(w)  where
+
+        v0 = a^2 - 2bc,  v1 = 2c^2 - ab,  v2 = b^2 - ac,
+        N  = a*v0 + 2*(c*v1 + b*v2)   (N lies in the BASE field)
+
+    so one elementwise pass + a base-field batched inversion does the whole
+    job — no extension-field scans."""
     axis = axis % a[0][0].ndim
-
-    def combine(x, y):
-        return ext3_mul(x, y)
-
-    pref = jax.lax.associative_scan(combine, a, axis=axis)
-    suff = jax.lax.associative_scan(combine, a, axis=axis, reverse=True)
-    n = a[0][0].shape[axis]
-    total = jax.tree.map(lambda x: jnp.take(x, n - 1, axis=axis), pref,
-                         is_leaf=lambda x: isinstance(x, jnp.ndarray))
-    tinv = ext3_inv(tuple(total))
-    one_shape = list(a[0][0].shape)
-    one_shape[axis] = 1
-
-    def shift_one(lo, first_val, rev):
-        pad = jnp.full(one_shape, np.uint32(first_val), U32)
-        if not rev:
-            return jnp.concatenate(
-                [pad, jax.lax.slice_in_dim(lo, 0, n - 1, axis=axis)], axis=axis)
-        return jnp.concatenate(
-            [jax.lax.slice_in_dim(lo, 1, n, axis=axis), pad], axis=axis)
-
-    def shift_ext(x, rev):
-        (l0, h0), (l1, h1), (l2, h2) = x
-        return (
-            (shift_one(l0, 1, rev), shift_one(h0, 0, rev)),
-            (shift_one(l1, 0, rev), shift_one(h1, 0, rev)),
-            (shift_one(l2, 0, rev), shift_one(h2, 0, rev)),
-        )
-
-    pref_excl = shift_ext(pref, rev=False)
-    suff_excl = shift_ext(suff, rev=True)
-    tinv_b = tuple(
-        (
-            jnp.broadcast_to(jnp.expand_dims(c[0], axis), a[0][0].shape),
-            jnp.broadcast_to(jnp.expand_dims(c[1], axis), a[0][0].shape),
-        )
-        for c in tinv
-    )
-    return ext3_mul(ext3_mul(pref_excl, suff_excl), tinv_b)
+    c0, c1, c2 = a
+    v0 = sub(sqr(c0), mul_const(mul(c1, c2), NR))
+    v1 = sub(mul_const(sqr(c2), NR), mul(c0, c1))
+    v2 = sub(sqr(c1), mul(c0, c2))
+    norm = add(mul(c0, v0), mul_const(add(mul(c2, v1), mul(c1, v2)), NR))
+    ninv = batch_inv(norm, axis)
+    return (mul(v0, ninv), mul(v1, ninv), mul(v2, ninv))
 
 
 def ext3_select(mask, a: Ext3, b: Ext3) -> Ext3:

@@ -1,0 +1,353 @@
+"""FRI commit/fold/query (reference: src/fri.rs).
+
+Protocol facts replicated exactly (they affect proof bytes):
+
+* folding uses PLAIN (offset-1) domains regardless of the LDE coset — prover
+  and verifier agree on this change of variable (src/fri.rs:526-567, 400);
+* after each iNTT the coefficients are scaled by the folding factor N; the
+  verifier's per-coset iNTT does the same (:541-543, :405-407);
+* evaluations are committed in bit-reversed order, chunked into rows of N
+  (so one Merkle path decommits a whole coset, :199-231);
+* query positions live in bit-reversed space and fold as p -> p // N with
+  dedup (:615-630);
+* the remainder is the iNTT of the last layer; coefficients above
+  size/blowup must be zero and are not sent (:233-249).
+
+TPU design: folding is reshape+mul+tree-sum on device; the per-layer
+bit-reversed view is a single gather; the layer Merkle build is the batched
+SHA-256 tree from merkle.py.  The verifier side is exact host scalar math.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import merkle
+from .fields import device as fd
+from .fields.scalar import Fp, Fq3, P, get_root_of_unity
+from .merkle import MerkleView
+from .ntt import Domain, bit_reverse_ext3, bit_reverse_index
+from .composer import _bcast_scalar, scalar_to_ext3
+
+
+@dataclass(frozen=True)
+class FriOptions:
+    folding_factor: int
+    max_remainder_coeffs: int
+    blowup_factor: int
+
+    def num_layers(self, domain_size: int) -> int:
+        n, layers = domain_size, 0
+        while n > self.max_remainder_coeffs * self.blowup_factor:
+            n //= self.folding_factor
+            layers += 1
+        return layers
+
+    def remainder_size(self, domain_size: int) -> int:
+        n = domain_size
+        while n > self.max_remainder_coeffs * self.blowup_factor:
+            n //= self.folding_factor
+        return n
+
+
+@dataclass
+class LayerProof:
+    flattened_rows: list  # Fq values (row-major, N per row)
+    merkle_proof: MerkleView
+    commitment: bytes
+
+    def serialize(self, w, fq):
+        w.field_vec(self.flattened_rows)
+        self.merkle_proof.serialize(w)
+        w.digest(self.commitment)
+
+    @staticmethod
+    def deserialize(r, fq) -> "LayerProof":
+        rows = r.field_vec(fq)
+        proof = MerkleView.deserialize(r)
+        return LayerProof(rows, proof, r.digest())
+
+
+@dataclass
+class FriProof:
+    layers: list  # [LayerProof]
+    remainder_coeffs: list  # [Fq]
+
+    def serialize(self, w, fq):
+        w.vec(self.layers, lambda w2, l: l.serialize(w2, fq))
+        w.field_vec(self.remainder_coeffs)
+
+    @staticmethod
+    def deserialize(r, fq) -> "FriProof":
+        layers = r.vec(lambda r2: LayerProof.deserialize(r2, fq))
+        return FriProof(layers, r.field_vec(fq))
+
+
+class VerificationError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# prover
+# ---------------------------------------------------------------------------
+
+class _Layer:
+    """A committed layer: Merkle tree + host numpy copy of the row values
+    (uint64 components); scalars are materialized only for queried rows."""
+
+    def __init__(self, tree, v0, v1, v2, fq_is_ext):
+        self.tree = tree
+        self.v = (v0, v1, v2)  # each (nrows, N) uint64 (v1/v2 None if base)
+        self.fq_is_ext = fq_is_ext
+
+    def row(self, r: int) -> list:
+        v0, v1, v2 = self.v
+        if self.fq_is_ext:
+            return [Fq3(int(v0[r, j]), int(v1[r, j]), int(v2[r, j]))
+                    for j in range(v0.shape[1])]
+        return [Fp(int(x)) for x in v0[r]]
+
+
+class FriProver:
+    """Builds FRI layers from the DEEP composition LDE.
+
+    `evals` enter in NATURAL domain order as Ext3 device arrays (promote
+    Fq==Fp inputs via ext3_from_base); internally all scalars leave the
+    device only at commit boundaries.
+    """
+
+    def __init__(self, options: FriOptions, fq_is_ext: bool):
+        self.options = options
+        self.fq_is_ext = fq_is_ext
+        self.layers: list[_Layer] = []
+        self.remainder_coeffs: list = []
+
+    def build_layers(self, channel, evals: fd.Ext3):
+        assert not self.layers
+        n = evals[0][0].shape[-1]
+        N = self.options.folding_factor
+        for _ in range(self.options.num_layers(n)):
+            evals = self._build_layer(channel, evals, n, N)
+            n //= N
+        self._set_remainder(channel, evals, n)
+
+    def _commit_layer(self, evals: fd.Ext3, n: int, N: int):
+        """Commit to bit-reversed evals chunked into rows of N."""
+        bitrev = bit_reverse_ext3(evals)
+        # rows (n/N, N) per limb; columns for hashing = transpose -> row-major
+        c0 = (bitrev[0][0].reshape(n // N, N), bitrev[0][1].reshape(n // N, N))
+        c1 = (bitrev[1][0].reshape(n // N, N), bitrev[1][1].reshape(n // N, N))
+        c2 = (bitrev[2][0].reshape(n // N, N), bitrev[2][1].reshape(n // N, N))
+        if self.fq_is_ext:
+            digests = merkle.hash_rows_ext3(
+                (jnp.transpose(c0[0]), jnp.transpose(c0[1])),
+                (jnp.transpose(c1[0]), jnp.transpose(c1[1])),
+                (jnp.transpose(c2[0]), jnp.transpose(c2[1])),
+            )
+        else:
+            digests = merkle.hash_rows_fp(jnp.transpose(c0[0]), jnp.transpose(c0[1]))
+        tree = merkle.CommittedMerkleTree.from_leaf_words(digests)
+        # host numpy copy of row values for query decommitment
+        v0 = fd.unpack_np(c0)
+        v1 = fd.unpack_np(c1) if self.fq_is_ext else None
+        v2 = fd.unpack_np(c2) if self.fq_is_ext else None
+        return tree, v0, v1, v2
+
+    def _build_layer(self, channel, evals: fd.Ext3, n: int, N: int) -> fd.Ext3:
+        tree, v0, v1, v2 = self._commit_layer(evals, n, N)
+        channel.commit_fri_layer(tree.root())
+        self.layers.append(_Layer(tree, v0, v1, v2, self.fq_is_ext))
+
+        alpha = channel.draw_fri_alpha()
+        return fold_evals(evals, n, N, alpha)
+
+    def _set_remainder(self, channel, evals: fd.Ext3, n: int):
+        dom = Domain(n)  # plain domain
+        coeffs = dom.ifft_ext3(evals)
+        max_coeffs = n // self.options.blowup_factor
+        vals = _ext3_to_scalars(coeffs, self.fq_is_ext)
+        remainder, zero_tail = vals[:max_coeffs], vals[max_coeffs:]
+        assert all(v.is_zero() for v in zero_tail), "remainder degree too high"
+        channel.commit_remainder(remainder)
+        self.remainder_coeffs = remainder
+
+    def into_proof(self, positions: list[int]) -> FriProof:
+        N = self.options.folding_factor
+        proof_layers = []
+        pos = list(positions)
+        for layer in self.layers:
+            pos = fold_positions(pos, N)
+            rows = [layer.row(p) for p in pos]
+            flattened = [v for row in rows for v in row]
+            mproof = layer.tree.prove(pos)
+            proof_layers.append(LayerProof(flattened, mproof, layer.tree.root()))
+        return FriProof(proof_layers, self.remainder_coeffs)
+
+
+def fold_evals(evals: fd.Ext3, n: int, N: int, alpha) -> fd.Ext3:
+    """One degree-respecting projection: plain iNTT, *N scale, fold coeff
+    chunks by alpha powers, plain NTT on the smaller domain."""
+    dom = Domain(n)
+    coeffs = dom.ifft_ext3(evals)
+    coeffs = fd.ext3_mul_base(coeffs, fd.full((n,), N))
+    alpha = scalar_to_ext3(alpha)
+    # fold: out[i] = sum_j coeffs[i*N+j] * alpha^j
+    resh = tuple((c[0].reshape(n // N, N), c[1].reshape(n // N, N)) for c in coeffs)
+    apows = [Fq3.one()]
+    for _ in range(N - 1):
+        apows.append(apows[-1] * alpha)
+    acc = _ext3_col(resh, 0)
+    for j in range(1, N):
+        term = fd.ext3_mul(_ext3_col(resh, j), _bcast_scalar(apows[j], n // N))
+        acc = fd.ext3_add(acc, term)
+    small = Domain(n // N)
+    return small.fft_ext3(acc)
+
+
+def fold_positions(positions: list[int], N: int) -> list[int]:
+    out = []
+    for p in positions:
+        q = p // N
+        if not out or out[-1] != q:
+            out.append(q)
+    return out
+
+
+def get_query_values(rows: list, positions: list[int], folded_positions: list[int], N: int):
+    lookup = {fp: i for i, fp in enumerate(folded_positions)}
+    return [rows[lookup[p // N]][p % N] for p in positions]
+
+
+# ---------------------------------------------------------------------------
+# verifier (host scalar)
+# ---------------------------------------------------------------------------
+
+class FriVerifier:
+    def __init__(self, public_coin, options: FriOptions, proof: FriProof,
+                 max_poly_degree: int):
+        self.options = options
+        self.proof = proof
+        domain_size = _next_pow2(max_poly_degree + 1) * options.blowup_factor
+        self.domain_size = domain_size
+        self.domain_generator = get_root_of_unity(domain_size).v
+
+        self.layer_alphas = []
+        self.layer_commitments = []
+        codeword_len = domain_size
+        N = options.folding_factor
+        for i, layer in enumerate(proof.layers):
+            public_coin.reseed_with_digest(layer.commitment)
+            self.layer_alphas.append(public_coin.draw())
+            self.layer_commitments.append(layer.commitment)
+            if i != len(proof.layers) - 1 and codeword_len % N != 0:
+                raise VerificationError(
+                    f"codeword length {codeword_len} not divisible by {N}")
+            codeword_len //= N
+        public_coin.reseed_with_field_element_vector(proof.remainder_coeffs)
+
+    def verify(self, positions: list[int], evaluations: list) -> None:
+        if len(positions) != len(evaluations):
+            raise VerificationError("positions/evaluations length mismatch")
+        N = self.options.folding_factor
+        domain_size = self.domain_size
+        g = self.domain_generator
+        positions = list(positions)
+        evaluations = list(evaluations)
+
+        for i in range(self.options.num_layers(domain_size)):
+            folded = fold_positions(positions, N)
+            alpha = self.layer_alphas[i]
+            commitment = self.layer_commitments[i]
+            layer = self.proof.layers[i]
+            rows = [layer.flattened_rows[k * N:(k + 1) * N]
+                    for k in range(len(layer.flattened_rows) // N)]
+            if len(rows) != len(folded):
+                raise VerificationError(f"row count mismatch in layer {i}")
+
+            try:
+                merkle.verify_rows(commitment, folded, rows, layer.merkle_proof)
+            except merkle.InvalidProof as e:
+                raise VerificationError(f"layer {i} commitment invalid") from e
+
+            query_values = get_query_values(rows, positions, folded, N)
+            if evaluations != query_values:
+                raise VerificationError(
+                    f"degree-respecting projection invalid in layer {i}")
+
+            # next-layer evals: per coset, iNTT (on coset g^bitrev(pos) of the
+            # plain folding domain), coefficients *N, Horner at alpha
+            evaluations = []
+            for row, p in zip(rows, folded):
+                offset = pow(g, bit_reverse_index(domain_size // N, p), P)
+                chunk = [row[bit_reverse_index(N, j)] for j in range(N)]
+                coeffs = _small_coset_ifft(chunk, N, offset)
+                acc = _fq_zero(chunk[0])
+                for c in reversed(coeffs):
+                    acc = acc * alpha + c * N
+                evaluations.append(acc)
+            positions = folded
+            g = pow(g, N, P)
+            domain_size //= N
+
+        self._verify_remainder(positions, evaluations, g, domain_size)
+
+    def _verify_remainder(self, positions, evaluations, g, domain_size):
+        coeffs = list(self.proof.remainder_coeffs)
+        while coeffs and coeffs[-1].is_zero():
+            coeffs.pop()
+        expected_degree = domain_size // self.options.blowup_factor - 1
+        if len(coeffs) - 1 > expected_degree:
+            raise VerificationError(
+                f"remainder is not a degree {expected_degree} polynomial")
+        for p, e in zip(positions, evaluations):
+            x = Fp(pow(g, bit_reverse_index(domain_size, p), P))
+            acc = _fq_zero(e)
+            for c in reversed(self.proof.remainder_coeffs):
+                acc = acc * x + c
+            if acc != e:
+                raise VerificationError("remainder mismatch")
+
+
+def _small_coset_ifft(values: list, N: int, offset: int):
+    """Naive size-N inverse NTT over coset {offset * w^i} (N <= 16)."""
+    w = get_root_of_unity(N).v
+    n_inv = pow(N, P - 2, P)
+    off_inv = pow(offset, P - 2, P)
+    coeffs = []
+    for k in range(N):
+        acc = _fq_zero(values[0])
+        for i, v in enumerate(values):
+            wexp = pow(w, (N - (i * k) % N) % N, P)  # w^{-ik}
+            acc = acc + v * Fp(wexp)
+        coeffs.append(acc * Fp(n_inv) * Fp(pow(off_inv, k, P)))
+    return coeffs
+
+
+def _fq_zero(like):
+    return type(like).zero()
+
+
+def _next_pow2(v: int) -> int:
+    return 1 << (v - 1).bit_length() if v > 1 else 1
+
+
+# ---------------------------------------------------------------------------
+# device<->scalar conversion helpers
+# ---------------------------------------------------------------------------
+
+def _ext3_to_scalars(a: fd.Ext3, fq_is_ext: bool) -> list:
+    c0 = fd.unpack_np(a[0]).ravel()
+    c1 = fd.unpack_np(a[1]).ravel()
+    c2 = fd.unpack_np(a[2]).ravel()
+    if fq_is_ext:
+        return [Fq3(int(x), int(y), int(z)) for x, y, z in zip(c0, c1, c2)]
+    assert not c1.any() and not c2.any()
+    return [Fp(int(x)) for x in c0]
+
+
+def _ext3_col(a, j: int):
+    """Column j of reshaped Ext3 arrays ((nrows, N) limbs)."""
+    return tuple((c[0][:, j], c[1][:, j]) for c in a)

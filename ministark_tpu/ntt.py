@@ -89,8 +89,19 @@ def _powers_cached(base: int, n: int):
 
 
 def powers(base: int, n: int) -> fd.Fp2:
-    """Cached device table of base^i, i < n."""
-    return _powers_cached(base % P, n)
+    """Cached device table of base^i, i < n.
+
+    Inside a jit trace the concrete cached table is embedded as a constant;
+    the cache itself is only ever populated outside a trace (populating it
+    with tracers would leak them)."""
+    from jax._src.core import trace_state_clean
+
+    base %= P
+    if not trace_state_clean():
+        # compute inline (traced); cheap log-depth scan, no caching
+        b = (jnp.asarray(np.uint32(base & 0xFFFFFFFF)), jnp.asarray(np.uint32(base >> 32)))
+        return _powers_device(b, n)
+    return _powers_cached(base, n)
 
 
 # ---------------------------------------------------------------------------
@@ -155,6 +166,13 @@ def _ntt_core_ext3(a: fd.Ext3, tw: fd.Fp2, n: int) -> fd.Ext3:
 def _jitted_transform(kind: str, size: int, offset: int):
     """Per-(domain, transform) jitted callables, shared across Domain instances."""
     dom = Domain(size, offset)
+    # Pre-warm twiddle/scale tables OUTSIDE the trace so they are embedded as
+    # constants rather than recomputed inside the compiled transform.
+    powers(dom.group_gen, max(size // 2, 1))
+    powers(dom.group_gen_inv, max(size // 2, 1))
+    if offset != 1:
+        powers(dom.offset, size)
+        powers(dom.offset_inv, size)
     fn = {
         "fft_fp": dom._fft_fp_impl,
         "ifft_fp": dom._ifft_fp_impl,
@@ -220,6 +238,7 @@ class Domain:
 
     def _fft_fp_impl(self, coeffs: fd.Fp2) -> fd.Fp2:
         n = self.size
+        coeffs = _zero_pad_fp(coeffs, n)
         if self.offset != 1:
             coeffs = fd.mul(coeffs, self._scale_tbl())
         return _ntt_core_fp(coeffs, powers(self.group_gen, max(n // 2, 1)), n)
@@ -234,6 +253,7 @@ class Domain:
 
     def _fft_ext3_impl(self, coeffs: fd.Ext3) -> fd.Ext3:
         n = self.size
+        coeffs = tuple(_zero_pad_fp(c, n) for c in coeffs)
         if self.offset != 1:
             coeffs = fd.ext3_mul_base(coeffs, self._scale_tbl())
         return _ntt_core_ext3(coeffs, powers(self.group_gen, max(n // 2, 1)), n)
@@ -258,6 +278,17 @@ class Domain:
 # ---------------------------------------------------------------------------
 # polynomial utilities on device
 # ---------------------------------------------------------------------------
+
+def _zero_pad_fp(coeffs: fd.Fp2, n: int) -> fd.Fp2:
+    """ark fft semantics: shorter coefficient vectors are zero-padded to the
+    domain size before the transform."""
+    m = coeffs[0].shape[-1]
+    if m == n:
+        return coeffs
+    assert m < n, f"coefficient count {m} exceeds domain size {n}"
+    pad = [(0, 0)] * (coeffs[0].ndim - 1) + [(0, n - m)]
+    return (jnp.pad(coeffs[0], pad), jnp.pad(coeffs[1], pad))
+
 
 def poly_eval_fp(coeffs: fd.Fp2, z: int) -> fd.Fp2:
     """Evaluate sum coeffs[i] z^i at scalar z (Horner result, on device).

@@ -53,24 +53,39 @@ def byteswap32(x):
 
 
 def _compress(state, block):
-    """One SHA-256 compression. state: (..., 8); block: (..., 16) uint32."""
-    w = [block[..., t] for t in range(16)]
-    for t in range(16, 64):
-        s0 = _rotr(w[t - 15], 7) ^ _rotr(w[t - 15], 18) ^ (w[t - 15] >> 3)
-        s1 = _rotr(w[t - 2], 17) ^ _rotr(w[t - 2], 19) ^ (w[t - 2] >> 10)
-        w.append((w[t - 16] + s0 + w[t - 7] + s1).astype(U32))
+    """One SHA-256 compression. state: (..., 8); block: (..., 16) uint32.
 
-    a, b, c, d, e, f, g, h = [state[..., i] for i in range(8)]
-    for t in range(64):
+    Both the message schedule and the 64 rounds are `fori_loop`s: fully
+    unrolled uint32 graphs send XLA:CPU's algebraic simplifier into a
+    circular-rewrite loop (minutes-long compiles); the loop form compiles in
+    well under a second per shape and runs at the same speed."""
+    batch = block.shape[:-1]
+    w0 = jnp.concatenate([block, jnp.zeros((*batch, 48), U32)], axis=-1)
+
+    def sched_body(t, w):
+        wm15 = w[..., t - 15]
+        wm2 = w[..., t - 2]
+        s0 = _rotr(wm15, 7) ^ _rotr(wm15, 18) ^ (wm15 >> 3)
+        s1 = _rotr(wm2, 17) ^ _rotr(wm2, 19) ^ (wm2 >> 10)
+        v = (w[..., t - 16] + s0 + w[..., t - 7] + s1).astype(U32)
+        return jax.lax.dynamic_update_index_in_dim(w, v, t, w.ndim - 1)
+
+    w = jax.lax.fori_loop(16, 64, sched_body, w0)
+    k = jnp.asarray(_K)
+
+    def round_body(t, st):
+        a, b, c, d, e, f, g, h = st
         S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
         ch = (e & f) ^ (~e & g)
-        t1 = (h + S1 + ch + np.uint32(_K[t]) + w[t]).astype(U32)
+        t1 = (h + S1 + ch + k[t] + w[..., t]).astype(U32)
         S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
         maj = (a & b) ^ (a & c) ^ (b & c)
-        t2 = (S0 + maj).astype(U32)
-        h, g, f, e, d, c, b, a = g, f, e, (d + t1).astype(U32), c, b, a, (t1 + t2).astype(U32)
+        return ((t1 + S0 + maj).astype(U32), a, b, c,
+                (d + t1).astype(U32), e, f, g)
 
-    out = jnp.stack([a, b, c, d, e, f, g, h], axis=-1)
+    st = jax.lax.fori_loop(0, 64, round_body,
+                           tuple(state[..., i] for i in range(8)))
+    out = jnp.stack(st, axis=-1)
     return (state + out).astype(U32)
 
 

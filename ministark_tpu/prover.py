@@ -1,0 +1,181 @@
+"""The proving pipeline (reference: src/prover.rs `default_prove`, call stack
+in SURVEY.md §3.1), reorganized for TPU:
+
+* every matrix stays in NATURAL domain order on device; bit-reversed order
+  exists only at Merkle commitment (digest permutation) and query time — the
+  reference's in-place bit-reverse juggling (src/prover.rs:81-91,183-194)
+  becomes a strided slice: natural CE value j == lde[j * (lde_n / ce_n)];
+* host<->device traffic happens only at Fiat-Shamir boundaries (roots, OOD
+  scalars, the PoW seed) — everything else is jitted device work.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from . import merkle
+from .air import Air, Challenges, ProofOptions
+from .channel import ProverChannel
+from .composer import DeepPolyComposer
+from .eval import eval_composition
+from .fields import device as fd
+from .fields.scalar import Fq3
+from .fri import FriOptions, FriProver
+from .matrix import Matrix, MatrixExt3
+from .ntt import bit_reverse_index
+from .ops import pow as dpow
+from .proof import Proof, Queries
+from .utils.timer import Timer
+
+
+class ProvingError(Exception):
+    pass
+
+
+def default_prove(stark, options: ProofOptions, witness, validate: bool = False) -> Proof:
+    fq_is_ext = stark.fq is Fq3
+
+    with Timer("Trace generation"):
+        trace = stark.generate_trace(witness)
+        base_trace = trace.base_columns()
+
+    with Timer("Air init"):
+        air = stark.build_air(base_trace.num_rows, options)
+        channel = ProverChannel(air, stark.gen_public_coin(air))
+
+    trace_dom = air.trace_domain()
+    lde_dom = air.lde_domain()
+
+    # -- phase 1: base trace commit (src/prover.rs:45-55) --------------------
+    with Timer("Base trace commitment"):
+        assert air.config.NUM_BASE_COLUMNS == base_trace.num_cols
+        base_polys = base_trace.interpolate(trace_dom)
+        base_lde = base_polys.evaluate(lde_dom)  # natural order
+        base_tree = merkle.commit_matrix_fp(base_lde.lo, base_lde.hi)
+    channel.commit_base_trace(base_tree.root())
+
+    challenges = Challenges(channel.public_coin.draw_multiple(air.num_challenges()))
+    hints = air.gen_hints(challenges)
+
+    # -- phase 2: extension trace commit (src/prover.rs:60-72) ---------------
+    with Timer("Extension trace commitment"):
+        ext_trace = trace.build_extension_columns(challenges)
+        num_ext = ext_trace.num_cols if ext_trace is not None else 0
+        assert getattr(air.config, "NUM_EXTENSION_COLUMNS", 0) == num_ext
+        ext_polys = ext_lde = ext_tree = None
+        if ext_trace is not None:
+            ext_polys = ext_trace.interpolate(trace_dom)
+            ext_lde = ext_polys.evaluate(lde_dom)
+            e = ext_lde.as_ext3()
+            ext_tree = merkle.commit_matrix_ext3(e[0], e[1], e[2])
+            channel.commit_extension_trace(ext_tree.root())
+
+    if validate:
+        stark.validate_constraints(air, challenges, hints, base_trace, ext_trace)
+
+    # -- phase 3: composition trace (src/prover.rs:78-131) -------------------
+    with Timer("Constraint evaluation"):
+        ce_dom = air.ce_domain()
+        r = lde_dom.size // ce_dom.size
+        x_lde = ce_dom.elements_device()
+        base_ce_cols = [
+            (base_lde.lo[c, ::r], base_lde.hi[c, ::r])
+            for c in range(base_lde.num_cols)]
+        ext_ce_cols = None
+        if ext_lde is not None:
+            e = ext_lde.as_ext3()
+            ext_ce_cols = [
+                tuple((comp[0][c, ::r], comp[1][c, ::r]) for comp in e)
+                for c in range(ext_lde.num_cols)]
+        num_coeffs = air.num_composition_constraint_coeffs()
+        composition_coeffs = channel.public_coin.draw_multiple(num_coeffs)
+        comp_evals = eval_composition(
+            air, composition_coeffs, challenges, hints, x_lde,
+            base_ce_cols, ext_ce_cols)
+
+    with Timer("Composition trace commitment"):
+        cb = air.ce_blowup_factor
+        if fq_is_ext:
+            coeffs = ce_dom.ifft_ext3(comp_evals)
+            # split into cb interleaved columns: col_i[j] = coeffs[j*cb + i]
+            comp_polys = MatrixExt3(*[
+                (c[0].reshape(air.trace_len, cb).T, c[1].reshape(air.trace_len, cb).T)
+                for c in coeffs])
+            comp_lde = comp_polys.evaluate(lde_dom)
+            ce_ = comp_lde.as_ext3()
+            comp_tree = merkle.commit_matrix_ext3(ce_[0], ce_[1], ce_[2])
+        else:
+            coeffs = ce_dom.ifft_fp(comp_evals)
+            comp_polys = Matrix(
+                coeffs[0].reshape(air.trace_len, cb).T,
+                coeffs[1].reshape(air.trace_len, cb).T)
+            comp_lde = comp_polys.evaluate(lde_dom)
+            comp_tree = merkle.commit_matrix_fp(comp_lde.lo, comp_lde.hi)
+        channel.commit_composition_trace(comp_tree.root())
+
+    # -- phase 4: DEEP composition (src/prover.rs:133-149) -------------------
+    with Timer("DEEP composition"):
+        z = channel.get_ood_point()
+        composer = DeepPolyComposer(air, z, base_lde, ext_lde, comp_lde)
+        execution_oods, composition_oods = composer.get_ood_evals()
+        channel.send_ood_evals(execution_oods, composition_oods)
+
+        deep_coeffs = stark.gen_deep_coeffs(channel.public_coin, air)
+        deep_lde = composer.deep_lde(deep_coeffs)  # Ext3 (lde_n,), natural
+
+    # -- phase 5: FRI (src/prover.rs:151-155) --------------------------------
+    with Timer("FRI"):
+        fri_options = FriOptions(
+            folding_factor=options.fri_folding_factor,
+            max_remainder_coeffs=options.fri_max_remainder_coeffs,
+            blowup_factor=options.lde_blowup_factor)
+        fri_prover = FriProver(fri_options, fq_is_ext)
+        fri_prover.build_layers(channel, deep_lde)
+
+    # -- phase 6: PoW + queries (src/prover.rs:157-173) ----------------------
+    with Timer("Proof of work"):
+        channel.grind_fri_commitments(grinder=dpow.grind)
+
+    query_positions = channel.get_fri_query_positions()
+    fri_proof = fri_prover.into_proof(query_positions)
+
+    with Timer("Queries"):
+        queries = build_queries(
+            air, base_lde, ext_lde, comp_lde,
+            base_tree, ext_tree, comp_tree, query_positions)
+
+    return Proof(
+        options=options,
+        trace_len=air.trace_len,
+        base_trace_commitment=channel.base_trace_commitment,
+        extension_trace_commitment=channel.extension_trace_commitment,
+        composition_trace_commitment=channel.composition_trace_commitment,
+        fri_proof=fri_proof,
+        pow_nonce=channel.pow_nonce,
+        trace_queries=queries,
+        execution_trace_ood_evals=channel.execution_trace_ood_evals,
+        composition_trace_ood_evals=channel.composition_trace_ood_evals,
+    )
+
+
+def build_queries(air, base_lde, ext_lde, comp_lde, base_tree, ext_tree,
+                  comp_tree, positions) -> Queries:
+    """Decommit trace rows at bit-reversed query positions
+    (src/trace.rs:114-157)."""
+    base_values, ext_values, comp_values = [], [], []
+    for pos in positions:
+        base_values.extend(base_lde.get_bit_reversed_row(pos))
+        if ext_lde is not None:
+            ext_values.extend(ext_lde.get_bit_reversed_row(pos))
+        comp_values.extend(comp_lde.get_bit_reversed_row(pos))
+    return Queries(
+        base_trace_values=base_values,
+        extension_trace_values=ext_values,
+        composition_trace_values=comp_values,
+        base_trace_proof=base_tree.prove(positions),
+        extension_trace_proof=ext_tree.prove(positions) if ext_tree else None,
+        composition_trace_proof=comp_tree.prove(positions),
+    )
