@@ -25,9 +25,12 @@ def validate_constraints(air, challenges, hints, base_trace, extension_trace):
     trace_dom = air.trace_domain()
 
     base_vals = base_trace.to_ints()  # (ncols, n) numpy uint64
-    ext_rows = None
+    ext_vals = None
     if extension_trace is not None:
-        ext_rows = extension_trace  # row access below
+        from .fields import device as fd
+        from .fields.scalar import Fq3
+        e = extension_trace.as_ext3()
+        comps = [fd.unpack_np(c) for c in e]  # 3 x (ncols, n)
 
     if n <= MAX_FULL_ROWS:
         rows = range(n)
@@ -54,7 +57,9 @@ def validate_constraints(air, challenges, hints, base_trace, extension_trace):
                     r = (row + leaf.offset) % n
                     if leaf.column < nb:
                         return Fp(int(base_vals[leaf.column, r]))
-                    return ext_rows.get_row(r)[leaf.column - nb]
+                    ec = leaf.column - nb
+                    return Fq3(int(comps[0][ec, r]), int(comps[1][ec, r]),
+                               int(comps[2][ec, r]))
                 if isinstance(leaf, Periodic):
                     point = x ** (n // leaf.interval_size)
                     acc = type(point).zero()
@@ -63,8 +68,12 @@ def validate_constraints(air, challenges, hints, base_trace, extension_trace):
                     return acc
                 raise TypeError(leaf)
 
+            # `check` returns None exactly when some division hit
+            # nonzero/zero — i.e. the numerator fails to vanish on its
+            # constraint domain (src/constraints.rs:168-171). Elsewhere the
+            # rational constraint legitimately takes arbitrary values.
             result = constraint.check(leaf_value)
-            if result is not None and not result.is_zero():
+            if result is None:
                 raise ConstraintViolation(
-                    f"constraint {ci} does not evaluate to zero at row {row} "
-                    f"(got {result})")
+                    f"constraint {ci} is not satisfied at row {row} "
+                    f"(nonzero numerator over vanishing denominator)")

@@ -22,6 +22,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .expression import (
     Challenge,
@@ -67,6 +68,17 @@ class VectorEvaluator:
         if isinstance(c, Fq3):
             return _Val("fq", c, True)
         return _Val("fp", c if isinstance(c, Fp) else Fp(c), True)
+
+    def _scalar_val(self, scalar) -> _Val:
+        """A transcript scalar, preferably passed as a traced device value
+        (0-d limb arrays) so changing it between proofs does NOT recompile.
+        Ext3 = tuple of 3 limb pairs; Fp = one limb pair.  Host scalars
+        (Fp/Fq3) are also accepted and baked as constants."""
+        if isinstance(scalar, (Fp, Fq3, int)):
+            return self._const_val(scalar)
+        if isinstance(scalar[0], tuple):
+            return _Val("fq", scalar, False)
+        return _Val("fp", scalar, False)
 
     def _materialize(self, a: _Val) -> _Val:
         if not a.is_const:
@@ -116,12 +128,14 @@ class VectorEvaluator:
     def div(self, a: _Val, b: _Val) -> _Val:
         if b.is_const:
             return self.mul(a, _Val(b.kind, b.v.inverse(), True))
-        binv = _Val(
-            b.kind,
-            fd.ext3_batch_inv(b.v) if (b.kind == "fq" and self.fq_is_ext) else fd.batch_inv(b.v),
-            False,
-        )
-        return self.mul(a, binv)
+        is_ext = b.kind == "fq" and self.fq_is_ext
+        leaf_arr = b.v[0][0] if is_ext else b.v[0]
+        if leaf_arr.ndim == 0:
+            binv_v = (fd.ext3_inv(b.v, host_scalar_inv=True) if is_ext
+                      else fd.inv_via_host(b.v))
+        else:
+            binv_v = fd.ext3_batch_inv(b.v) if is_ext else fd.batch_inv(b.v)
+        return self.mul(a, _Val(b.kind, binv_v, False))
 
     def pow(self, a: _Val, e: int) -> _Val:
         if a.is_const:
@@ -140,11 +154,11 @@ class VectorEvaluator:
         if isinstance(leaf, Constant):
             return self._const_val(leaf.value)
         if isinstance(leaf, Challenge):
-            return self._const_val(ctx["challenges"][leaf.index])
+            return self._scalar_val(ctx["challenges"][leaf.index])
         if isinstance(leaf, Hint):
-            return self._const_val(ctx["hints"][leaf.index])
+            return self._scalar_val(ctx["hints"][leaf.index])
         if isinstance(leaf, CompositionCoeff):
-            return self._const_val(ctx["composition_coeffs"][leaf.index])
+            return self._scalar_val(ctx["composition_coeffs"][leaf.index])
         if isinstance(leaf, Trace):
             shift = self.ce_blowup * leaf.offset
             num_base = len(ctx["base_cols"])
@@ -273,14 +287,17 @@ def eval_composition(
     fq_is_ext = getattr(air.config, "fq_type", Fp) is Fq3
     n = air.trace_len * air.ce_blowup_factor
     ev = VectorEvaluator(n, air.ce_blowup_factor, fq_is_ext)
+    scalars = {
+        "challenges": [_scalar_to_device(v) for v in challenges],
+        "hints": [_scalar_to_device(v) for v in hints],
+        "composition_coeffs": [_scalar_to_device(v) for v in composition_coeffs],
+    }
     ctx = {
         "x_lde": x_lde,
         "base_cols": base_cols,
         "ext_cols": ext_cols or [],
-        "challenges": list(challenges),
-        "hints": list(hints),
-        "composition_coeffs": list(composition_coeffs),
         "trace_len": air.trace_len,
+        **scalars,
     }
 
     expr = air.composition_constraint.expr
@@ -299,16 +316,17 @@ def eval_composition(
 
     inv_by_key = {}
     for k, dnode in denom_by_key.items():
-        def run_denom(x_lde_in, base_in, ext_in, dnode=dnode):
+        def run_denom(x_lde_in, base_in, ext_in, scl, dnode=dnode):
             c = dict(ctx)
             c["x_lde"] = x_lde_in
             c["base_cols"] = base_in
             c["ext_cols"] = ext_in
+            c.update(scl)
             val = ev._materialize(ev.evaluate_raw(dnode, c))
             if val.kind == "fq" and fq_is_ext:
                 return fd.ext3_batch_inv(val.v)
             return fd.batch_inv(val.v)
-        inv_by_key[k] = jax.jit(run_denom)(x_lde, base_cols, ext_cols or [])
+        inv_by_key[k] = jax.jit(run_denom)(x_lde, base_cols, ext_cols or [], scalars)
 
     # -- phase 2: per-term evaluation, accumulate ----------------------------
     @jax.jit
@@ -319,16 +337,27 @@ def eval_composition(
 
     acc = None
     for term in terms:
-        def run_term(x_lde_in, base_in, ext_in, invs, term=term):
+        def run_term(x_lde_in, base_in, ext_in, invs, scl, term=term):
             c = dict(ctx)
             c["x_lde"] = x_lde_in
             c["base_cols"] = base_in
             c["ext_cols"] = ext_in
+            c.update(scl)
             c["_div_inverses"] = invs
             c["_key_memo"] = key_memo
             out = ev.evaluate_raw(term, c)
             out = ev._materialize(ev._promote(out, "fq"))
             return out.v
-        tv = jax.jit(run_term)(x_lde, base_cols, ext_cols or [], inv_by_key)
+        tv = jax.jit(run_term)(x_lde, base_cols, ext_cols or [], inv_by_key, scalars)
         acc = tv if acc is None else add_fq(acc, tv)
     return acc
+
+
+def _scalar_to_device(v):
+    """Host scalar (Fp | Fq3) -> 0-d device limb pair(s)."""
+    if isinstance(v, Fq3):
+        return tuple(
+            (jnp.asarray(np.uint32(c.v & 0xFFFFFFFF)), jnp.asarray(np.uint32(c.v >> 32)))
+            for c in (v.c0, v.c1, v.c2))
+    vv = v.v if isinstance(v, Fp) else int(v)
+    return (jnp.asarray(np.uint32(vv & 0xFFFFFFFF)), jnp.asarray(np.uint32(vv >> 32)))
