@@ -335,9 +335,8 @@ def eval_composition(
             return fd.ext3_add(acc, term)
         return fd.add(acc, term)
 
-    acc = None
-    for term in terms:
-        def run_term(x_lde_in, base_in, ext_in, invs, scl, term=term):
+    def make_run_term(term):
+        def run_term(x_lde_in, base_in, ext_in, invs, scl):
             c = dict(ctx)
             c["x_lde"] = x_lde_in
             c["base_cols"] = base_in
@@ -348,7 +347,20 @@ def eval_composition(
             out = ev.evaluate_raw(term, c)
             out = ev._materialize(ev._promote(out, "fq"))
             return out.v
-        tv = jax.jit(run_term)(x_lde, base_cols, ext_cols or [], inv_by_key, scalars)
+        return jax.jit(run_term)
+
+    args = (x_lde, base_cols, ext_cols or [], inv_by_key, scalars)
+    fns = [make_run_term(t) for t in terms]
+    # XLA compiles release the GIL: compile all terms concurrently (big win
+    # on the CPU backend where each term costs tens of seconds to compile)
+    import concurrent.futures as _fut
+    import os as _os
+    with _fut.ThreadPoolExecutor(max_workers=min(16, _os.cpu_count() or 8)) as ex:
+        compiled = list(ex.map(lambda f: f.lower(*args).compile(), fns))
+
+    acc = None
+    for fn in compiled:
+        tv = fn(*args)
         acc = tv if acc is None else add_fq(acc, tv)
     return acc
 

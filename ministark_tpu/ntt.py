@@ -71,14 +71,24 @@ def bit_reverse_ext3(a: fd.Ext3, axis: int = -1) -> fd.Ext3:
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def _powers_device(base: fd.Fp2, n: int) -> fd.Fp2:
-    """[1, base, base^2, ..., base^(n-1)] via one associative scan on device."""
+    """[1, base, base^2, ..., base^(n-1)] by log-doubling: p_{2k} is built
+    from p_k by one vector multiply with base^k (log2(n) field muls total —
+    a tiny graph, unlike a scan lowering)."""
     if n == 1:
         return fd.ones((1,))
-    lo = jnp.broadcast_to(base[0], (n,))
-    hi = jnp.broadcast_to(base[1], (n,))
-    lo = lo.at[0].set(1)
-    hi = hi.at[0].set(0)
-    return jax.lax.associative_scan(lambda x, y: fd.mul(x, y), (lo, hi))
+    out = (jnp.ones((1,), fd.U32), jnp.zeros((1,), fd.U32))  # [1]
+    step = base  # base^(2^k)
+    k = 1
+    while k < n:
+        take = min(k, n - k)
+        chunk = (out[0][:take], out[1][:take])
+        stepb = (jnp.broadcast_to(step[0], (take,)), jnp.broadcast_to(step[1], (take,)))
+        nxt = fd.mul(chunk, stepb)
+        out = (jnp.concatenate([out[0], nxt[0]]), jnp.concatenate([out[1], nxt[1]]))
+        if 2 * k < n:
+            step = fd.mul(step, step)
+        k *= 2
+    return out
 
 
 @functools.lru_cache(maxsize=256)
@@ -107,37 +117,51 @@ def powers(base: int, n: int) -> fd.Fp2:
 # ---------------------------------------------------------------------------
 # core transform
 # ---------------------------------------------------------------------------
+#
+# TPU layout rule: the trailing (lane) dimension must stay wide.  A flat
+# radix-2 pass views the array as (n/m, 2, m/2) whose trailing dim collapses
+# to 1 in early stages — every such stage relayouts the whole array (measured
+# ~100ms/stage at 2^20 on v5e).  So:
+#   * small transforms run stages along axis 0 with the BATCH TRAILING;
+#   * large transforms use the six-step decomposition n = n1*n2:
+#     column-NTT (axis 0, n2 trailing) -> twiddle -> transpose ->
+#     column-NTT -> flatten, with one explicit transpose per half.
 
-def _dit_stages(a: fd.Fp2, tw: fd.Fp2, n: int, mul_tw, add_op, sub_op):
-    """Radix-2 DIT butterflies on bit-reversed input -> natural output.
+_SIX_STEP_MIN = 1 << 14
 
-    `a` leaves are shaped (..., n); `tw` is the full table w^0..w^(n/2-1).
-    mul_tw(x, tw_slice) multiplies by base-field twiddles.
-    """
+
+def _tree_map(f, *xs):
+    return jax.tree.map(f, *xs, is_leaf=lambda t: isinstance(t, jnp.ndarray))
+
+
+def _dit_stages_axis0(a, tw: fd.Fp2, n: int, mul_tw, add_op, sub_op):
+    """Radix-2 DIT butterflies along axis 0 (bit-reversed in, natural out).
+
+    `a` leaves shaped (n, *trailing); `tw` = w^0..w^(n/2-1)."""
     log_n = n.bit_length() - 1
-    batch = a[0].shape[:-1] if isinstance(a[0], jnp.ndarray) else ()
-
-    def reshape_all(x, shape):
-        return jax.tree.map(lambda t: t.reshape(shape), x,
-                            is_leaf=lambda t: isinstance(t, jnp.ndarray))
+    trailing = jax.tree.leaves(a)[0].shape[1:]
+    tpad = (1,) * len(trailing)
 
     for s in range(1, log_n + 1):
         m = 1 << s
         half = m >> 1
         stride = n // m
-        # twiddle slice w_m^j = W[j * stride], j < half
-        tws = (tw[0][::stride][:half], tw[1][::stride][:half])
-        x = reshape_all(a, (*batch, n // m, 2, half))
-        u = jax.tree.map(lambda t: t[..., 0, :], x,
-                         is_leaf=lambda t: isinstance(t, jnp.ndarray))
-        v = jax.tree.map(lambda t: t[..., 1, :], x,
-                         is_leaf=lambda t: isinstance(t, jnp.ndarray))
+        tws = (tw[0][::stride][:half].reshape(half, *tpad),
+               tw[1][::stride][:half].reshape(half, *tpad))
+        x = _tree_map(lambda t: t.reshape(n // m, 2, half, *trailing), a)
+        u = _tree_map(lambda t: t[:, 0], x)
+        v = _tree_map(lambda t: t[:, 1], x)
         v = mul_tw(v, tws)
         lo_half = add_op(u, v)
         hi_half = sub_op(u, v)
-        x = jax.tree.map(lambda p, q: jnp.stack([p, q], axis=-2), lo_half, hi_half)
-        a = reshape_all(x, (*batch, n))
+        x = _tree_map(lambda p, q: jnp.stack([p, q], axis=1), lo_half, hi_half)
+        a = _tree_map(lambda t: t.reshape(n, *trailing), x)
     return a
+
+
+def _bitrev_axis0(a, n: int):
+    perm = jnp.asarray(bit_reverse_indices(n))
+    return _tree_map(lambda t: jnp.take(t, perm, axis=0), a)
 
 
 def _fp_mul_tw(v, tws):
@@ -148,14 +172,116 @@ def _ext3_mul_tw(v, tws):
     return fd.ext3_mul_base(v, tws)
 
 
-def _ntt_core_fp(a: fd.Fp2, tw: fd.Fp2, n: int) -> fd.Fp2:
-    a = bit_reverse_fp(a)
-    return _dit_stages(a, tw, n, _fp_mul_tw, fd.add, fd.sub)
+def _split_n(n: int):
+    log_n = n.bit_length() - 1
+    l1 = log_n // 2
+    return 1 << l1, 1 << (log_n - l1)
 
 
-def _ntt_core_ext3(a: fd.Ext3, tw: fd.Fp2, n: int) -> fd.Ext3:
-    a = bit_reverse_ext3(a)
-    return _dit_stages(a, tw, n, _ext3_mul_tw, fd.ext3_add, fd.ext3_sub)
+def _sixstep_twiddle(n: int, root: int) -> fd.Fp2:
+    """T[k1, j2] = w^(k1*j2), shape (n1, n2), gathered from the full powers
+    table (cached per (n, root))."""
+    n1, n2 = _split_n(n)
+    w = powers(root, n)
+    k1 = np.arange(n1, dtype=np.uint64)[:, None]
+    j2 = np.arange(n2, dtype=np.uint64)[None, :]
+    idx = jnp.asarray(((k1 * j2) % n).astype(np.int32))
+    return (w[0][idx], w[1][idx])
+
+
+@functools.lru_cache(maxsize=64)
+def _sixstep_twiddle_cached(n: int, root: int):
+    out = _sixstep_twiddle(n, root)
+    return jax.tree.map(jax.block_until_ready, out)
+
+
+def _use_pallas(n: int) -> bool:
+    return (jax.default_backend() != "cpu") and n >= _SIX_STEP_MIN
+
+
+def _ntt_sixstep_pallas_fp(x2: fd.Fp2, n: int, root: int, tmat) -> fd.Fp2:
+    """Six-step NTT of one flat (n,) Fp vector via the fused column kernel."""
+    from .ops import ntt_pallas
+
+    n1, n2 = _split_n(n)
+    x = (x2[0].reshape(n1, n2), x2[1].reshape(n1, n2))
+    x = _bitrev_axis0(x, n1)
+    tw1 = ntt_pallas.stage_twiddles(pow(root, n2, P), n1)
+    tmat2 = (tmat[0].reshape(n1, n2), tmat[1].reshape(n1, n2))
+    x = ntt_pallas.col_ntt(x, tw1, tmat=tmat2)
+    x = (jnp.swapaxes(x[0], 0, 1), jnp.swapaxes(x[1], 0, 1))  # (n2, n1)
+    x = _bitrev_axis0(x, n2)
+    tw2 = ntt_pallas.stage_twiddles(pow(root, n1, P), n2)
+    x = ntt_pallas.col_ntt(x, tw2)
+    return (x[0].reshape(n), x[1].reshape(n))
+
+
+def _ntt_core(a, tw: fd.Fp2, n: int, tmat, mul_tw, add_op, sub_op, root=None):
+    """Natural-order in/out NTT.  `a` leaves shaped (..., n).  `tmat` is the
+    (n1, n2) six-step twiddle matrix (unused placeholder for small n).
+    `root` (static int) enables the fused Pallas path on TPU."""
+    batch = jax.tree.leaves(a)[0].shape[:-1]
+
+    if root is not None and _use_pallas(n):
+        # run each component / batch element through the fused kernel
+        comps = a if isinstance(a[0], tuple) else (a,)
+        out_comps = []
+        for comp in comps:
+            if batch:
+                flat = (comp[0].reshape(-1, n), comp[1].reshape(-1, n))
+                outs = [
+                    _ntt_sixstep_pallas_fp((flat[0][i], flat[1][i]), n, root, tmat)
+                    for i in range(flat[0].shape[0])
+                ]
+                out = (jnp.stack([o[0] for o in outs]).reshape(*batch, n),
+                       jnp.stack([o[1] for o in outs]).reshape(*batch, n))
+            else:
+                out = _ntt_sixstep_pallas_fp(comp, n, root, tmat)
+            out_comps.append(out)
+        return tuple(out_comps) if isinstance(a[0], tuple) else out_comps[0]
+
+    if n < _SIX_STEP_MIN:
+        # stages along axis 0, batch trailing
+        x = _tree_map(lambda t: jnp.moveaxis(t, -1, 0), a)
+        x = _bitrev_axis0(x, n)
+        x = _dit_stages_axis0(x, tw, n, mul_tw, add_op, sub_op)
+        return _tree_map(lambda t: jnp.moveaxis(t, 0, -1), x)
+
+    n1, n2 = _split_n(n)
+    # M[j1, j2] = x[j1*n2 + j2]; column pass transforms j1 with (j2, batch)
+    # trailing: layout (n1, n2, *batch)
+    if batch:
+        x = _tree_map(lambda t: jnp.moveaxis(t.reshape(*batch, n1, n2),
+                                             tuple(range(len(batch))),
+                                             tuple(range(2, 2 + len(batch)))), a)
+    else:
+        x = _tree_map(lambda t: t.reshape(n1, n2), a)
+    tw1 = (tw[0][:: n // n1][: n1 // 2], tw[1][:: n // n1][: n1 // 2])
+    tw2 = (tw[0][:: n // n2][: n2 // 2], tw[1][:: n // n2][: n2 // 2])
+
+    x = _bitrev_axis0(x, n1)
+    x = _dit_stages_axis0(x, tw1, n1, mul_tw, add_op, sub_op)  # C[k1, j2, ...]
+
+    tpad = (1,) * len(batch)
+    tmat = (tmat[0].reshape(n1, n2, *tpad), tmat[1].reshape(n1, n2, *tpad))
+    x = mul_tw(x, tmat)
+
+    x = _tree_map(lambda t: jnp.swapaxes(t, 0, 1), x)  # (n2:j2, n1:k1, ...)
+    x = _bitrev_axis0(x, n2)
+    x = _dit_stages_axis0(x, tw2, n2, mul_tw, add_op, sub_op)  # D[k2, k1, ...]
+
+    if batch:
+        x = _tree_map(lambda t: jnp.moveaxis(t, tuple(range(2, 2 + len(batch))),
+                                             tuple(range(len(batch)))), x)
+    return _tree_map(lambda t: t.reshape(*batch, n), x)
+
+
+def _ntt_core_fp(a: fd.Fp2, tw: fd.Fp2, n: int, tmat, root=None) -> fd.Fp2:
+    return _ntt_core(a, tw, n, tmat, _fp_mul_tw, fd.add, fd.sub, root)
+
+
+def _ntt_core_ext3(a: fd.Ext3, tw: fd.Fp2, n: int, tmat, root=None) -> fd.Ext3:
+    return _ntt_core(a, tw, n, tmat, _ext3_mul_tw, fd.ext3_add, fd.ext3_sub, root)
 
 
 # ---------------------------------------------------------------------------
@@ -164,15 +290,11 @@ def _ntt_core_ext3(a: fd.Ext3, tw: fd.Fp2, n: int) -> fd.Ext3:
 
 @functools.lru_cache(maxsize=None)
 def _jitted_transform(kind: str, size: int, offset: int):
-    """Per-(domain, transform) jitted callables, shared across Domain instances."""
+    """Per-(domain, transform) jitted callables, shared across Domain
+    instances.  Twiddle/scale tables are passed as runtime ARGUMENTS — baking
+    them in as constants bloats the HLO with multi-megabyte literals that
+    dominate (remote) compile time."""
     dom = Domain(size, offset)
-    # Pre-warm twiddle/scale tables OUTSIDE the trace so they are embedded as
-    # constants rather than recomputed inside the compiled transform.
-    powers(dom.group_gen, max(size // 2, 1))
-    powers(dom.group_gen_inv, max(size // 2, 1))
-    if offset != 1:
-        powers(dom.offset, size)
-        powers(dom.offset_inv, size)
     fn = {
         "fft_fp": dom._fft_fp_impl,
         "ifft_fp": dom._ifft_fp_impl,
@@ -216,62 +338,86 @@ class Domain:
 
     def fft_fp(self, coeffs: fd.Fp2) -> fd.Fp2:
         """coeffs (natural order) -> evals over the coset, natural order."""
-        return _jitted_transform("fft_fp", self.size, self.offset)(coeffs)
+        return _jitted_transform("fft_fp", self.size, self.offset)(
+            coeffs, self._fwd_tbl(), self._scale_tbl(), self._fwd_tmat())
 
     def ifft_fp(self, evals: fd.Fp2) -> fd.Fp2:
-        return _jitted_transform("ifft_fp", self.size, self.offset)(evals)
+        return _jitted_transform("ifft_fp", self.size, self.offset)(
+            evals, self._inv_tbl(), self._unscale_tbl(), self._inv_tmat())
 
     def fft_bitrev_fp(self, coeffs: fd.Fp2) -> fd.Fp2:
         """Evaluations in bit-reversed order (protocol commitment order)."""
         return bit_reverse_fp(self.fft_fp(coeffs))
 
     def fft_ext3(self, coeffs: fd.Ext3) -> fd.Ext3:
-        return _jitted_transform("fft_ext3", self.size, self.offset)(coeffs)
+        return _jitted_transform("fft_ext3", self.size, self.offset)(
+            coeffs, self._fwd_tbl(), self._scale_tbl(), self._fwd_tmat())
 
     def ifft_ext3(self, evals: fd.Ext3) -> fd.Ext3:
-        return _jitted_transform("ifft_ext3", self.size, self.offset)(evals)
+        return _jitted_transform("ifft_ext3", self.size, self.offset)(
+            evals, self._inv_tbl(), self._unscale_tbl(), self._inv_tmat())
 
     def fft_bitrev_ext3(self, coeffs: fd.Ext3) -> fd.Ext3:
         return bit_reverse_ext3(self.fft_ext3(coeffs))
 
-    # -- implementations (traced under jit) ----------------------------------
+    # -- implementations (traced under jit; tables are arguments) ------------
 
-    def _fft_fp_impl(self, coeffs: fd.Fp2) -> fd.Fp2:
+    def _fft_fp_impl(self, coeffs: fd.Fp2, tw: fd.Fp2, scale: fd.Fp2, tmat) -> fd.Fp2:
         n = self.size
         coeffs = _zero_pad_fp(coeffs, n)
         if self.offset != 1:
-            coeffs = fd.mul(coeffs, self._scale_tbl())
-        return _ntt_core_fp(coeffs, powers(self.group_gen, max(n // 2, 1)), n)
+            coeffs = fd.mul(coeffs, scale)
+        return _ntt_core_fp(coeffs, tw, n, tmat, self.group_gen)
 
-    def _ifft_fp_impl(self, evals: fd.Fp2) -> fd.Fp2:
+    def _ifft_fp_impl(self, evals: fd.Fp2, tw: fd.Fp2, unscale: fd.Fp2, tmat) -> fd.Fp2:
         n = self.size
-        out = _ntt_core_fp(evals, powers(self.group_gen_inv, max(n // 2, 1)), n)
+        out = _ntt_core_fp(evals, tw, n, tmat, self.group_gen_inv)
         out = fd.mul(out, fd.full(out[0].shape, self.size_inv))
         if self.offset != 1:
-            out = fd.mul(out, self._unscale_tbl())
+            out = fd.mul(out, unscale)
         return out
 
-    def _fft_ext3_impl(self, coeffs: fd.Ext3) -> fd.Ext3:
+    def _fft_ext3_impl(self, coeffs: fd.Ext3, tw: fd.Fp2, scale: fd.Fp2, tmat) -> fd.Ext3:
         n = self.size
         coeffs = tuple(_zero_pad_fp(c, n) for c in coeffs)
         if self.offset != 1:
-            coeffs = fd.ext3_mul_base(coeffs, self._scale_tbl())
-        return _ntt_core_ext3(coeffs, powers(self.group_gen, max(n // 2, 1)), n)
+            coeffs = fd.ext3_mul_base(coeffs, scale)
+        return _ntt_core_ext3(coeffs, tw, n, tmat, self.group_gen)
 
-    def _ifft_ext3_impl(self, evals: fd.Ext3) -> fd.Ext3:
+    def _ifft_ext3_impl(self, evals: fd.Ext3, tw: fd.Fp2, unscale: fd.Fp2, tmat) -> fd.Ext3:
         n = self.size
-        out = _ntt_core_ext3(evals, powers(self.group_gen_inv, max(n // 2, 1)), n)
+        out = _ntt_core_ext3(evals, tw, n, tmat, self.group_gen_inv)
         out = fd.ext3_mul_base(out, fd.full(out[0][0].shape, self.size_inv))
         if self.offset != 1:
-            out = fd.ext3_mul_base(out, self._unscale_tbl())
+            out = fd.ext3_mul_base(out, unscale)
         return out
+
+    def _fwd_tbl(self) -> fd.Fp2:
+        return powers(self.group_gen, max(self.size // 2, 1))
+
+    def _inv_tbl(self) -> fd.Fp2:
+        return powers(self.group_gen_inv, max(self.size // 2, 1))
+
+    def _fwd_tmat(self):
+        if self.size < _SIX_STEP_MIN:
+            return fd.ones((1,))
+        return _sixstep_twiddle_cached(self.size, self.group_gen)
+
+    def _inv_tmat(self):
+        if self.size < _SIX_STEP_MIN:
+            return fd.ones((1,))
+        return _sixstep_twiddle_cached(self.size, self.group_gen_inv)
 
     # -- internals ----------------------------------------------------------
 
     def _scale_tbl(self) -> fd.Fp2:
+        if self.offset == 1:
+            return fd.ones((1,))  # unused placeholder arg
         return powers(self.offset, self.size)
 
     def _unscale_tbl(self) -> fd.Fp2:
+        if self.offset == 1:
+            return fd.ones((1,))
         return powers(self.offset_inv, self.size)
 
 

@@ -1,0 +1,143 @@
+"""Pallas TPU kernel: fused column-NTT (the six-step building block).
+
+Measurement (v5e via axon): XLA executes each uint32 elementwise op as its
+own HBM pass (~0.6ms/pass at 2^22) — a 22-stage radix-2 NTT costs hundreds
+of passes.  This kernel performs ALL log2(n1) butterfly stages of a column
+transform inside VMEM: one read + one write of the data per kernel, with the
+optional six-step twiddle fold applied in the epilogue.
+
+Kernel shape rules learned the hard way:
+  * strided twiddle slices lower to unsupported gathers -> per-stage twiddle
+    VECTORS (log2(n1), n1) are precomputed host-side;
+  * an unrolled python stage loop stacks every temporary on the Mosaic VMEM
+    stack (OOM at 2048 rows) -> stages run under `fori_loop` with same-shape
+    roll/select butterflies:
+        z      = T_s * (is_lo ? x[r+half] : x[r])
+        out[r] = is_lo ? x[r] + z : x[r-half] - z
+
+Grid: tiles of TILE lanes along the batch (n2) axis.  Input rows must be
+pre-bit-reversed along axis 0 (one XLA row-gather outside).
+
+This is the reference's threadgroup-memory FFT stage
+(gpu/src/metal/fft_shaders.h.metal:61-101 `FftMultiple`) scaled from a
+threadgroup to a VMEM tile.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields import device as fd
+from ..fields.scalar import P
+
+TILE = 128
+
+
+@functools.lru_cache(maxsize=64)
+def stage_twiddles(root: int, n1: int):
+    """Per-stage full twiddle vectors, shape (log2(n1), n1):
+    T[s-1, r] = w^((n1/2^s) * (r mod 2^(s-1))) — the multiplier applied at
+    row r in stage s (same value for a butterfly's lo and hi rows)."""
+    log_n = n1.bit_length() - 1
+    # layout (log_n, n1, 1): stage s is plane s-1; the (1, n1, 1) block
+    # satisfies Mosaic's trailing-dim divisibility rules
+    out_lo = np.zeros((log_n, n1, 1), np.uint32)
+    out_hi = np.zeros((log_n, n1, 1), np.uint32)
+    r_idx = np.arange(n1, dtype=np.int64)
+    for s in range(1, log_n + 1):
+        m = 1 << s
+        half = m >> 1
+        wm = pow(root, n1 // m, P)
+        pw = np.ones(half, dtype=object)
+        for j in range(1, half):
+            pw[j] = pw[j - 1] * wm % P
+        vals = np.array([int(pw[r % half]) for r in r_idx], dtype=np.uint64)
+        out_lo[s - 1, :, 0] = (vals & 0xFFFFFFFF).astype(np.uint32)
+        out_hi[s - 1, :, 0] = (vals >> 32).astype(np.uint32)
+    return (jnp.asarray(out_lo), jnp.asarray(out_hi))
+
+
+def _col_ntt_kernel(x_lo_ref, x_hi_ref, tw_lo_ref, tw_hi_ref,
+                    tm_lo_ref, tm_hi_ref, o_lo_ref, o_hi_ref, *, n1, with_tmat):
+    """One butterfly stage per grid step along grid dim 1; the output block is
+    revisited (sequential grid) so intermediate state lives in its VMEM
+    block across stages."""
+    log_n = n1.bit_length() - 1
+    s = pl.program_id(1)  # 0-based stage index
+    tile = x_lo_ref.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.uint32, (n1, tile), 0)
+
+    half = jnp.uint32(1) << s.astype(jnp.uint32)  # 2^s = m/2 for stage s+1
+    is_lo = (rows & half) == 0
+    T = (tw_lo_ref[:].reshape(n1, 1), tw_hi_ref[:].reshape(n1, 1))
+
+    def load(ref_pair):
+        return (ref_pair[0][:], ref_pair[1][:])
+
+    x = jax.lax.cond(
+        s == 0,
+        lambda: load((x_lo_ref, x_hi_ref)),
+        lambda: load((o_lo_ref, o_hi_ref)),
+    )
+    shift = half.astype(jnp.int32)
+    neg = (n1 - half).astype(jnp.int32)
+    xp = (pltpu.roll(x[0], neg, axis=0), pltpu.roll(x[1], neg, axis=0))
+    xm = (pltpu.roll(x[0], shift, axis=0), pltpu.roll(x[1], shift, axis=0))
+    operand = fd.select(is_lo, xp, x)
+    z = fd.mul(T, operand)
+    out = fd.select(is_lo, fd.add(x, z), fd.sub(xm, z))
+
+    if with_tmat:
+        last = s == log_n - 1
+
+        def with_fold():
+            return fd.mul(out, (tm_lo_ref[:], tm_hi_ref[:]))
+
+        out = jax.lax.cond(last, with_fold, lambda: out)
+
+    o_lo_ref[:] = out[0]
+    o_hi_ref[:] = out[1]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def col_ntt(x, tw_stages, tmat=None, interpret=False):
+    """Column NTT over axis 0 of (n1, n2) limb pairs.
+
+    `x` must already be bit-reversed along axis 0; `tw_stages` = per-stage
+    twiddle vectors from `stage_twiddles`; `tmat` (optional) = (n1, n2)
+    six-step twiddle matrix folded into the output."""
+    n1, n2 = x[0].shape
+    tile = min(TILE, n2)
+    assert n2 % tile == 0
+    with_tmat = tmat is not None
+    if tmat is None:
+        # tiny dummy operand (never read)
+        tmat = (jnp.zeros((8, 128), fd.U32), jnp.zeros((8, 128), fd.U32))
+
+    log_n = n1.bit_length() - 1
+    grid = (n2 // tile, log_n)
+    xspec = pl.BlockSpec((n1, tile), lambda j, s: (0, j), memory_space=pltpu.VMEM)
+    tmspec = (pl.BlockSpec((n1, tile), lambda j, s: (0, j), memory_space=pltpu.VMEM)
+              if with_tmat else
+              pl.BlockSpec((8, 128), lambda j, s: (0, 0), memory_space=pltpu.VMEM))
+    twspec = pl.BlockSpec((1, n1, 1), lambda j, s: (s, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kernel = functools.partial(_col_ntt_kernel, n1=n1, with_tmat=with_tmat)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[xspec, xspec, twspec, twspec, tmspec, tmspec],
+        out_specs=(xspec, xspec),
+        out_shape=(jax.ShapeDtypeStruct((n1, n2), jnp.uint32),
+                   jax.ShapeDtypeStruct((n1, n2), jnp.uint32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x[0], x[1], tw_stages[0], tw_stages[1], tmat[0], tmat[1])
+    return out

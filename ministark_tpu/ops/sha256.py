@@ -108,7 +108,9 @@ def sha256_words(words):
     padv = jnp.broadcast_to(jnp.asarray(pad, U32), (*batch, total_words - W))
     msg = jnp.concatenate([words.astype(U32), padv], axis=-1)
 
-    state = jnp.broadcast_to(jnp.asarray(_H0, U32), (*batch, 8))
+    # derive the initial state from the input so its sharding/varying type
+    # matches inside shard_map bodies (broadcasting a constant does not)
+    state = jnp.asarray(_H0, U32) + jnp.zeros_like(msg[..., :8])
     nblocks = total_words // 16
     for i in range(nblocks):
         state = _compress(state, msg[..., i * 16:(i + 1) * 16])
