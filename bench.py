@@ -28,15 +28,18 @@ def main():
     lo = jnp.asarray(lo)
     hi = jnp.asarray(hi)
 
-    # warmup/compile
+    # warmup/compile (a host readback forces full materialization — plain
+    # block_until_ready returns early through the axon relay)
     out = dom.fft_fp((lo, hi))
     jax.block_until_ready(out)
+    _ = int(out[0][0])
 
-    iters = 5
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = dom.fft_fp(out)
     jax.block_until_ready(out)
+    _ = int(out[0][0])
     dt = (time.perf_counter() - t0) / iters
 
     melem_s = n / dt / 1e6
