@@ -127,9 +127,15 @@ class PublicCoin:
         return H.leading_zeros(digest) >= bits
 
     def grind_proof_of_work(self, bits: int) -> int:
-        """Host fallback grind: smallest valid nonce >= 1 (deterministic;
-        the reference's parallel find_any returns an arbitrary valid nonce).
-        Device grind lives in ops/pow.py."""
+        """Host grind: smallest valid nonce >= 1 (deterministic; the
+        reference's parallel find_any returns an arbitrary valid nonce).
+        Uses the native C++ runtime when available; the batched device grind
+        lives in ops/pow.py."""
+        from . import native
+
+        nonce = native.pow_grind(self.seed, bits)
+        if nonce is not None:
+            return nonce
         nonce = 1
         while not self.verify_proof_of_work(bits, nonce):
             nonce += 1
