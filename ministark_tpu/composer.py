@@ -23,6 +23,7 @@ while every step is an elementwise map or a batched inversion.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .fields import device as fd
@@ -198,49 +199,176 @@ class DeepPolyComposer:
 
     def deep_lde(self, coeffs: DeepCompositionCoeffs) -> fd.Ext3:
         """The DEEP composition evaluated over the LDE domain, natural order
-        (what FRI consumes)."""
+        (what FRI consumes). One jitted program; transcript scalars enter as
+        traced inputs so reproving never recompiles."""
         assert self._cache is not None, "call get_ood_evals first"
         trace_pts, distinct, bary, exec_oods, comp_oods = self._cache
         dom = self.lde_dom
         n = dom.size
+        num_base = self.base_lde.num_cols
+        num_comp = self.composition_lde.num_cols
+        col_plan = tuple((col, off) for (col, off, _y) in trace_pts)
+
+        import os as _os
+        use_fused = (jax.default_backend() != "cpu"
+                     or _os.environ.get("MINISTARK_TPU_FUSED_DEEP") == "interpret")
+        if use_fused and n % (512 * 8) == 0:
+            return self._deep_lde_fused(
+                coeffs, interpret=jax.default_backend() == "cpu")
 
         base_cols = self._base_as_ext3()
         ext_cols = self.extension_lde.as_ext3() if self.extension_lde is not None else None
         comp_cols = self._comp_as_ext3()
-        num_base = self.base_lde.num_cols
 
-        # reuse (y - x_i) inverses: deep needs inv(x_i - y) = -inv(y - x_i)
-        acc = fd.ext3_zeros((n,))
-        for j, ((col, off, y), ood) in enumerate(zip(trace_pts, exec_oods)):
-            inv_vec, _ = bary[("t", off)]
-            inv_x_minus_y = fd.ext3_neg(inv_vec)
-            if col < num_base:
-                col_vals = tuple((c[0][col], c[1][col]) for c in base_cols)
-            else:
-                col_vals = tuple((c[0][col - num_base], c[1][col - num_base])
-                                 for c in ext_cols)
-            alpha = scalar_to_ext3(coeffs.execution_trace[j])
-            diff = fd.ext3_sub(col_vals, _bcast_scalar(scalar_to_ext3(_as_fq3(ood)), n))
-            term = fd.ext3_mul(diff, inv_x_minus_y)
-            acc = fd.ext3_add(acc, fd.ext3_mul(term, _bcast_scalar(alpha, n)))
+        inv_t = {off: bary[("t", off)][0] for (_c, off, _y) in trace_pts}
+        inv_offsets = tuple(sorted(inv_t))
+        inv_arrays = [inv_t[o] for o in inv_offsets]
+        inv_c = bary[("c", 0)][0]
 
-        inv_vec, _ = bary[("c", 0)]
-        inv_x_minus_zm = fd.ext3_neg(inv_vec)
-        for k in range(self.composition_lde.num_cols):
-            col_vals = tuple((c[0][k], c[1][k]) for c in comp_cols)
-            alpha = scalar_to_ext3(coeffs.composition_trace[k])
-            diff = fd.ext3_sub(col_vals, _bcast_scalar(_as_fq3(comp_oods[k]), n))
-            term = fd.ext3_mul(diff, inv_x_minus_zm)
-            acc = fd.ext3_add(acc, fd.ext3_mul(term, _bcast_scalar(alpha, n)))
-
-        # degree adjust: * (alpha + beta*x)
-        da, db = coeffs.degree
-        da = scalar_to_ext3(da)
-        db = scalar_to_ext3(db)
+        dev = fq3_to_device_scalar
+        exec_alphas = [dev(scalar_to_ext3(a)) for a in coeffs.execution_trace]
+        comp_alphas = [dev(scalar_to_ext3(a)) for a in coeffs.composition_trace]
+        exec_oods_d = [dev(_as_fq3(o)) for o in exec_oods]
+        comp_oods_d = [dev(_as_fq3(o)) for o in comp_oods]
+        da = dev(scalar_to_ext3(coeffs.degree[0]))
+        db = dev(scalar_to_ext3(coeffs.degree[1]))
         x = dom.elements_device()
-        adj = fd.ext3_add(_bcast_scalar(da, n),
-                          fd.ext3_mul_base(_bcast_scalar(db, n), x))
-        return fd.ext3_mul(acc, adj)
+
+        def bview(s):
+            return tuple((jnp.broadcast_to(c[0], (n,)), jnp.broadcast_to(c[1], (n,)))
+                         for c in s)
+
+        # chunked jits: XLA compile time is superlinear in graph size, so the
+        # sum over quotient terms runs in small groups — ONE compile serves
+        # every full group (identical pytree structure), so small is fast
+        CHUNK = 2
+
+        @jax.jit
+        def exec_chunk(acc, cols, invs_sel, oods, alphas):
+            for cv, iv, o, al in zip(cols, invs_sel, oods, alphas):
+                diff = fd.ext3_sub(cv, bview(o))
+                term = fd.ext3_mul(diff, fd.ext3_neg(iv))
+                acc = fd.ext3_add(acc, fd.ext3_mul(term, bview(al)))
+            return acc
+
+        @jax.jit
+        def finish(acc, da_, db_, x_):
+            adj = fd.ext3_add(bview(da_), fd.ext3_mul_base(bview(db_), x_))
+            return fd.ext3_mul(acc, adj)
+
+        def col_vals(col):
+            if col < num_base:
+                return tuple((c[0][col], c[1][col]) for c in base_cols)
+            return tuple((c[0][col - num_base], c[1][col - num_base])
+                         for c in ext_cols)
+
+        inv_by_off = dict(zip(inv_offsets, inv_arrays))
+        acc = fd.ext3_zeros((n,))
+        items = [
+            (col_vals(col), inv_by_off[off], exec_oods_d[j], exec_alphas[j])
+            for j, (col, off) in enumerate(col_plan)
+        ] + [
+            (tuple((c[0][k], c[1][k]) for c in comp_cols), inv_c,
+             comp_oods_d[k], comp_alphas[k])
+            for k in range(num_comp)
+        ]
+        for g in range(0, len(items), CHUNK):
+            chunk = items[g:g + CHUNK]
+            acc = exec_chunk(
+                acc,
+                tuple(it[0] for it in chunk),
+                tuple(it[1] for it in chunk),
+                tuple(it[2] for it in chunk),
+                tuple(it[3] for it in chunk),
+            )
+        return finish(acc, da, db, x)
+
+    def _deep_lde_fused(self, coeffs: DeepCompositionCoeffs,
+                        interpret: bool = False) -> fd.Ext3:
+        """Pallas-fused DEEP LDE (ops/deep_pallas.py): one VMEM pass per term
+        group instead of one HBM pass per uint32 op.  For base-field AIRs
+        (fq == fp, e.g. fib) the whole pipeline stays in Fp — a further 3-9x
+        saving over the Ext3-promoted path."""
+        from .ops.deep_pallas import deep_lde_fused
+
+        trace_pts, _distinct, bary, exec_oods, comp_oods = self._cache
+        dom = self.lde_dom
+        n = dom.size
+        num_base = self.base_lde.num_cols
+        fq_is_ext = self.fq_is_ext
+
+        col_planes = {}
+        inv_planes = {}
+        scalar_vals: list[int] = []
+
+        def add_scalar(v) -> int:
+            idx = len(scalar_vals)
+            if fq_is_ext:
+                q = _as_fq3(v)
+                scalar_vals.extend([q.c0.v, q.c1.v, q.c2.v])
+            else:
+                scalar_vals.append(v.v if isinstance(v, Fp) else int(v))
+            return idx
+
+        def inv_of(key):
+            if key not in inv_planes:
+                full = bary[key][0]  # Ext3 always (bary runs in Ext3)
+                inv_planes[key] = full if fq_is_ext else full[0]
+            return key
+
+        terms = []
+        for j, (col, off, _y) in enumerate(trace_pts):
+            if col < num_base:
+                ck = ("b", col)
+                if ck not in col_planes:
+                    m = self.base_lde
+                    col_planes[ck] = (m.lo[col], m.hi[col])
+            else:
+                ck = ("e", col - num_base)
+                if ck not in col_planes:
+                    e = self.extension_lde.as_ext3()
+                    c = col - num_base
+                    col_planes[ck] = tuple((comp[0][c], comp[1][c])
+                                           for comp in e)
+            ood = exec_oods[j] if fq_is_ext else _as_fq3(exec_oods[j]).c0
+            terms.append((ck, inv_of(("t", off)), add_scalar(ood),
+                          add_scalar(coeffs.execution_trace[j])))
+
+        comp_is_ext = hasattr(self.composition_lde, "as_ext3")
+        for k in range(self.composition_lde.num_cols):
+            ck = ("c", k)
+            if ck not in col_planes:
+                if comp_is_ext:
+                    e = self.composition_lde.as_ext3()
+                    col_planes[ck] = tuple((comp[0][k], comp[1][k])
+                                           for comp in e)
+                else:
+                    m = self.composition_lde
+                    col_planes[ck] = (m.lo[k], m.hi[k])
+            ood = comp_oods[k] if fq_is_ext else _as_fq3(comp_oods[k]).c0
+            terms.append((ck, inv_of(("c", 0)), add_scalar(ood),
+                          add_scalar(coeffs.composition_trace[k])))
+
+        degree_vals: list[int] = []
+        for v in coeffs.degree:
+            if fq_is_ext:
+                q = _as_fq3(v)
+                degree_vals.extend([q.c0.v, q.c1.v, q.c2.v])
+            else:
+                degree_vals.append(v.v if isinstance(v, Fp) else int(v))
+
+        plan_key = (type(self.air.config).__qualname__
+                    if not isinstance(self.air.config, type)
+                    else self.air.config.__qualname__, n, fq_is_ext)
+        out = deep_lde_fused(
+            n=n, fq_is_ext=fq_is_ext, terms=terms, col_planes=col_planes,
+            inv_planes=inv_planes, scalar_vals=scalar_vals,
+            degree_vals=degree_vals, x=dom.elements_device(),
+            plan_key=plan_key, interpret=interpret)
+        if fq_is_ext:
+            return out
+        zeros = jnp.zeros_like(out[0])
+        return (out, (zeros, zeros), (zeros, zeros))
 
 
 def _as_fq3(v) -> Fq3:

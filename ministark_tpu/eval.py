@@ -286,6 +286,19 @@ def eval_composition(
     """
     fq_is_ext = getattr(air.config, "fq_type", Fp) is Fq3
     n = air.trace_len * air.ce_blowup_factor
+
+    import os as _os
+
+    if (jax.default_backend() == "cpu"
+            and _os.environ.get("MINISTARK_EVAL", "numpy") == "numpy"
+            and _os.environ.get("MINISTARK_TPU_FUSED_EVAL") != "interpret"):
+        # eager numpy path (src/eval_cpu.rs analogue): JAX tracing costs
+        # ~0.3ms per op on one core — for the brainfuck-sized DAGs that's
+        # HOURS; numpy runs the same mod-p vector math eagerly in seconds
+        return eval_composition_numpy(
+            air, composition_coeffs, challenges, hints, x_lde,
+            base_cols, ext_cols)
+
     ev = VectorEvaluator(n, air.ce_blowup_factor, fq_is_ext)
     scalars = {
         "challenges": [_scalar_to_device(v) for v in challenges],
@@ -328,7 +341,22 @@ def eval_composition(
             return fd.batch_inv(val.v)
         inv_by_key[k] = jax.jit(run_denom)(x_lde, base_cols, ext_cols or [], scalars)
 
-    # -- phase 2: per-term evaluation, accumulate ----------------------------
+    # -- phase 2: term evaluation --------------------------------------------
+    # Off-CPU the fused Pallas kernels evaluate term groups entirely in VMEM
+    # (XLA:TPU runs each u32 op as a separate HBM pass); the CPU/test path
+    # keeps per-term XLA jits.
+    import os as _os
+
+    use_fused = (jax.default_backend() != "cpu"
+                 or _os.environ.get("MINISTARK_TPU_FUSED_EVAL") == "interpret")
+    if use_fused and n % (512 * 8) == 0:
+        from .ops.eval_pallas import eval_composition_fused
+
+        return eval_composition_fused(
+            air, composition_coeffs, challenges, hints, x_lde, base_cols,
+            ext_cols, inv_by_key, key_memo,
+            interpret=jax.default_backend() == "cpu")
+
     @jax.jit
     def add_fq(acc, term):
         if fq_is_ext:
@@ -373,3 +401,113 @@ def _scalar_to_device(v):
             for c in (v.c0, v.c1, v.c2))
     vv = v.v if isinstance(v, Fp) else int(v)
     return (jnp.asarray(np.uint32(vv & 0xFFFFFFFF)), jnp.asarray(np.uint32(vv >> 32)))
+
+
+# ---------------------------------------------------------------------------
+# eager numpy evaluator (the src/eval_cpu.rs analogue)
+# ---------------------------------------------------------------------------
+
+def eval_composition_numpy(air, composition_coeffs, challenges, hints,
+                           x_lde, base_cols, ext_cols):
+    """One memoized postorder walk of the composition DAG with numpy u64
+    vector arithmetic (fields/npfield.py).
+
+    No tracing, no compilation, and shared sub-DAGs (hash-consed by the
+    composition compiler) evaluate exactly once — including each distinct
+    Div denominator, which the reference re-inverts per node
+    (src/eval_cpu.rs:280-295).
+    """
+    from .fields import npfield as nf
+
+    fq_is_ext = getattr(air.config, "fq_type", Fp) is Fq3
+    trace_len = air.trace_len
+    ce_blowup = air.ce_blowup_factor
+
+    x = nf.from_limbs(*x_lde)
+    base = [nf.from_limbs(*c) for c in base_cols]
+    ext = [tuple(nf.from_limbs(*comp) for comp in c)
+           for c in (ext_cols or [])]
+
+    def scal(v):
+        """Host scalar -> ('fp', u64) or ('fq', 3-tuple)."""
+        if isinstance(v, Fq3):
+            return ("fq", (nf.U64(v.c0.v), nf.U64(v.c1.v), nf.U64(v.c2.v)))
+        vv = v.v if isinstance(v, Fp) else int(v) % P
+        return ("fp", nf.U64(vv))
+
+    def promote(val):
+        kind, v = val
+        if kind == "fq" or not fq_is_ext:
+            return val
+        if np.ndim(v) == 0:
+            return ("fq", (v, nf.U64(0), nf.U64(0)))
+        return ("fq", nf.ext3_from_base(v))
+
+    def binop(a, b, fp_op, fq_op):
+        if fq_is_ext and (a[0] == "fq" or b[0] == "fq"):
+            return ("fq", fq_op(promote(a)[1], promote(b)[1]))
+        return ("fp", fp_op(a[1], b[1]))
+
+    def leaf_value(leaf):
+        if isinstance(leaf, X):
+            return ("fp", x)
+        if isinstance(leaf, Constant):
+            return scal(leaf.value)
+        if isinstance(leaf, Challenge):
+            return scal(challenges[leaf.index])
+        if isinstance(leaf, Hint):
+            return scal(hints[leaf.index])
+        if isinstance(leaf, CompositionCoeff):
+            return scal(composition_coeffs[leaf.index])
+        if isinstance(leaf, Trace):
+            shift = ce_blowup * leaf.offset
+            if leaf.column < len(base):
+                return ("fp", np.roll(base[leaf.column], -shift))
+            col = ext[leaf.column - len(base)]
+            return ("fq", tuple(np.roll(c, -shift) for c in col))
+        if isinstance(leaf, Periodic):
+            k = trace_len // leaf.interval_size
+            xb = nf.pow_const(x, k)
+            cv = leaf.coeffs[-1]
+            acc = nf.full(x.shape, cv.v if isinstance(cv, Fp) else int(cv))
+            for c in reversed(leaf.coeffs[:-1]):
+                cc = c.v if isinstance(c, Fp) else int(c)
+                acc = nf.add(nf.mul(acc, xb), nf.U64(cc))
+            return ("fp", acc)
+        raise TypeError(f"unknown leaf {leaf!r}")
+
+    expr = air.composition_constraint.expr
+    memo = {}
+    for node in expr.postorder_unique():
+        nid = id(node)
+        if node.op == "leaf":
+            memo[nid] = leaf_value(node.leaf)
+        elif node.op == "neg":
+            k, v = memo[id(node.a)]
+            memo[nid] = (k, nf.ext3_neg(v) if k == "fq" else nf.neg(v))
+        elif node.op == "add":
+            memo[nid] = binop(memo[id(node.a)], memo[id(node.b)],
+                              nf.add, nf.ext3_add)
+        elif node.op == "mul":
+            memo[nid] = binop(memo[id(node.a)], memo[id(node.b)],
+                              nf.mul, nf.ext3_mul)
+        elif node.op == "div":
+            bk, bv = memo[id(node.b)]
+            inv = nf.ext3_inv(bv) if bk == "fq" else nf.inv(bv)
+            memo[nid] = binop(memo[id(node.a)], (bk, inv),
+                              nf.mul, nf.ext3_mul)
+        elif node.op == "pow":
+            k, v = memo[id(node.a)]
+            memo[nid] = (k, nf.ext3_pow_const(v, node.exp) if k == "fq"
+                         else nf.pow_const(v, node.exp))
+        else:
+            raise ValueError(node.op)
+
+    kind, out = promote(memo[id(expr)])
+    if fq_is_ext:
+        return tuple(
+            tuple(jnp.asarray(l) for l in nf.to_limbs(
+                np.broadcast_to(c, x.shape)))
+            for c in out)
+    return tuple(jnp.asarray(l) for l in nf.to_limbs(
+        np.broadcast_to(out, x.shape)))

@@ -272,12 +272,14 @@ def _host_inv_np(lo, hi):
 
 
 def inv_via_host(a: Fp2) -> Fp2:
-    """Inverse of a SMALL array via host callback.
+    """Inverse of a SMALL array.
 
-    The Fermat chain is ~100 field muls -> a ~25k-HLO graph that XLA:CPU
-    compiles for half a minute; for the handful of per-proof scalar inverses
-    (batch-inversion totals) a host round-trip is far cheaper on every axis.
-    """
+    On the CPU backend: a host callback — the Fermat chain is ~100 field
+    muls -> a ~25k-HLO graph that XLA:CPU compiles for half a minute.
+    On TPU: the axon PJRT has no host-callback support, and the TPU compiler
+    handles the chain fine — use Fermat."""
+    if jax.default_backend() != "cpu":
+        return pow_const(a, P - 2)
     shape = jnp.shape(a[0])
     result_shape = (jax.ShapeDtypeStruct(shape, U32), jax.ShapeDtypeStruct(shape, U32))
     return tuple(jax.pure_callback(_host_inv_np, result_shape, a[0], a[1]))
@@ -336,8 +338,33 @@ def _shifted_suffix_products(a: Fp2, axis: int):
     return suff
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
+def _pallas_inv_mode(shape):
+    """'run' / 'interpret' / None — use the one-pass Pallas Fermat inverse
+    when off-CPU (or under the test env flag) and the size tiles cleanly."""
+    import os
+
+    from ..ops import inv_pallas
+
+    if not inv_pallas.eligible(shape):
+        return None
+    if jax.default_backend() != "cpu":
+        return "run"
+    if os.environ.get("MINISTARK_TPU_FUSED_INV") == "interpret":
+        return "interpret"
+    return None
+
+
 def batch_inv(a: Fp2, axis: int = -1) -> Fp2:
+    mode = _pallas_inv_mode(jnp.shape(a[0]))
+    if mode is not None:
+        from ..ops.inv_pallas import inv_fp_pallas
+
+        return inv_fp_pallas(a, interpret=mode == "interpret")
+    return _batch_inv_scan(a, axis)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _batch_inv_scan(a: Fp2, axis: int = -1) -> Fp2:
     """Batched inversion (Montgomery trick):
     inv(a[i]) = prefix(i-1) * suffix(i+1) * inv(total).
     All inputs must be nonzero; the single total inverse goes to the host."""
@@ -444,8 +471,17 @@ def ext3_inv(a: Ext3, host_scalar_inv: bool = False) -> Ext3:
     return (mul(v0, ninv), mul(v1, ninv), mul(v2, ninv))
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
 def ext3_batch_inv(a: Ext3, axis: int = -1) -> Ext3:
+    mode = _pallas_inv_mode(jnp.shape(a[0][0]))
+    if mode is not None:
+        from ..ops.inv_pallas import inv_ext3_pallas
+
+        return inv_ext3_pallas(a, interpret=mode == "interpret")
+    return _ext3_batch_inv_scan(a, axis)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _ext3_batch_inv_scan(a: Ext3, axis: int = -1) -> Ext3:
     """Batched Fq3 inversion via the norm map: for w = a + b*u + c*u^2 with
     u^3 = 2,  1/w = (v0 + v1*u + v2*u^2) / N(w)  where
 

@@ -20,8 +20,10 @@ SHA-256 tree from merkle.py.  The verifier side is exact host scalar math.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,8 +31,8 @@ from . import merkle
 from .fields import device as fd
 from .fields.scalar import Fp, Fq3, P, get_root_of_unity
 from .merkle import MerkleView
-from .ntt import Domain, bit_reverse_ext3, bit_reverse_index
-from .composer import _bcast_scalar, scalar_to_ext3
+from .ntt import Domain, bit_reverse_ext3, bit_reverse_fp, bit_reverse_index
+from .composer import fq3_to_device_scalar, scalar_to_ext3
 
 
 @dataclass(frozen=True)
@@ -95,28 +97,35 @@ class VerificationError(Exception):
 # ---------------------------------------------------------------------------
 
 class _Layer:
-    """A committed layer: Merkle tree + host numpy copy of the row values
-    (uint64 components); scalars are materialized only for queried rows."""
+    """A committed layer: Merkle tree + DEVICE row values; queried rows are
+    fetched with one bulk gather at decommit time."""
 
-    def __init__(self, tree, v0, v1, v2, fq_is_ext):
+    def __init__(self, tree, c0, c1, c2, fq_is_ext):
         self.tree = tree
-        self.v = (v0, v1, v2)  # each (nrows, N) uint64 (v1/v2 None if base)
+        self.c = (c0, c1, c2)  # Ext3-style: each ((nrows,N) lo, hi); c1/c2 None if base
         self.fq_is_ext = fq_is_ext
 
-    def row(self, r: int) -> list:
-        v0, v1, v2 = self.v
+    def rows_bulk(self, positions: list[int]) -> list[list]:
+        idx = jnp.asarray(positions)
+        comps = []
+        for comp in self.c if self.fq_is_ext else self.c[:1]:
+            lo = np.asarray(comp[0][idx], dtype=np.uint64)
+            hi = np.asarray(comp[1][idx], dtype=np.uint64)
+            comps.append(lo | (hi << np.uint64(32)))
+        nrows, N = comps[0].shape
         if self.fq_is_ext:
-            return [Fq3(int(v0[r, j]), int(v1[r, j]), int(v2[r, j]))
-                    for j in range(v0.shape[1])]
-        return [Fp(int(x)) for x in v0[r]]
+            return [[Fq3(int(comps[0][r, j]), int(comps[1][r, j]), int(comps[2][r, j]))
+                     for j in range(N)] for r in range(nrows)]
+        return [[Fp(int(comps[0][r, j])) for j in range(N)] for r in range(nrows)]
 
 
 class FriProver:
     """Builds FRI layers from the DEEP composition LDE.
 
-    `evals` enter in NATURAL domain order as Ext3 device arrays (promote
-    Fq==Fp inputs via ext3_from_base); internally all scalars leave the
-    device only at commit boundaries.
+    `evals` enter in NATURAL domain order as Ext3 device arrays; in base-field
+    mode (fq == fp, e.g. fib) only component 0 is carried through the layers —
+    a 3x saving on NTTs, folds and hashing.  Scalars leave the device only at
+    commit boundaries.
     """
 
     def __init__(self, options: FriOptions, fq_is_ext: bool):
@@ -128,47 +137,53 @@ class FriProver:
     def build_layers(self, channel, evals: fd.Ext3):
         assert not self.layers
         n = evals[0][0].shape[-1]
+        if not self.fq_is_ext:
+            evals = evals[0]  # Fp2; c1/c2 are structurally zero
         N = self.options.folding_factor
         for _ in range(self.options.num_layers(n)):
             evals = self._build_layer(channel, evals, n, N)
             n //= N
         self._set_remainder(channel, evals, n)
 
-    def _commit_layer(self, evals: fd.Ext3, n: int, N: int):
+    def _commit_layer(self, evals, n: int, N: int):
         """Commit to bit-reversed evals chunked into rows of N."""
-        bitrev = bit_reverse_ext3(evals)
-        # rows (n/N, N) per limb; columns for hashing = transpose -> row-major
-        c0 = (bitrev[0][0].reshape(n // N, N), bitrev[0][1].reshape(n // N, N))
-        c1 = (bitrev[1][0].reshape(n // N, N), bitrev[1][1].reshape(n // N, N))
-        c2 = (bitrev[2][0].reshape(n // N, N), bitrev[2][1].reshape(n // N, N))
         if self.fq_is_ext:
+            bitrev = bit_reverse_ext3(evals)
+            comps = [
+                (b[0].reshape(n // N, N), b[1].reshape(n // N, N))
+                for b in bitrev
+            ]
             digests = merkle.hash_rows_ext3(
-                (jnp.transpose(c0[0]), jnp.transpose(c0[1])),
-                (jnp.transpose(c1[0]), jnp.transpose(c1[1])),
-                (jnp.transpose(c2[0]), jnp.transpose(c2[1])),
-            )
+                *[(jnp.transpose(c[0]), jnp.transpose(c[1])) for c in comps])
+            c0, c1, c2 = comps
         else:
-            digests = merkle.hash_rows_fp(jnp.transpose(c0[0]), jnp.transpose(c0[1]))
+            b = bit_reverse_fp(evals)
+            c0 = (b[0].reshape(n // N, N), b[1].reshape(n // N, N))
+            c1 = c2 = None
+            digests = merkle.hash_rows_fp(
+                jnp.transpose(c0[0]), jnp.transpose(c0[1]))
         tree = merkle.CommittedMerkleTree.from_leaf_words(digests)
-        # host numpy copy of row values for query decommitment
-        v0 = fd.unpack_np(c0)
-        v1 = fd.unpack_np(c1) if self.fq_is_ext else None
-        v2 = fd.unpack_np(c2) if self.fq_is_ext else None
-        return tree, v0, v1, v2
+        return tree, c0, c1, c2
 
-    def _build_layer(self, channel, evals: fd.Ext3, n: int, N: int) -> fd.Ext3:
-        tree, v0, v1, v2 = self._commit_layer(evals, n, N)
+    def _build_layer(self, channel, evals, n: int, N: int):
+        tree, c0, c1, c2 = self._commit_layer(evals, n, N)
         channel.commit_fri_layer(tree.root())
-        self.layers.append(_Layer(tree, v0, v1, v2, self.fq_is_ext))
+        self.layers.append(_Layer(tree, c0, c1, c2, self.fq_is_ext))
 
         alpha = channel.draw_fri_alpha()
-        return fold_evals(evals, n, N, alpha)
+        if self.fq_is_ext:
+            return fold_evals(evals, n, N, alpha)
+        return fold_evals_fp(evals, n, N, alpha)
 
-    def _set_remainder(self, channel, evals: fd.Ext3, n: int):
+    def _set_remainder(self, channel, evals, n: int):
         dom = Domain(n)  # plain domain
-        coeffs = dom.ifft_ext3(evals)
+        if self.fq_is_ext:
+            coeffs = dom.ifft_ext3(evals)
+            vals = _ext3_to_scalars(coeffs, True)
+        else:
+            coeffs = dom.ifft_fp(evals)
+            vals = [Fp(int(v)) for v in fd.unpack_np(coeffs).ravel()]
         max_coeffs = n // self.options.blowup_factor
-        vals = _ext3_to_scalars(coeffs, self.fq_is_ext)
         remainder, zero_tail = vals[:max_coeffs], vals[max_coeffs:]
         assert all(v.is_zero() for v in zero_tail), "remainder degree too high"
         channel.commit_remainder(remainder)
@@ -180,31 +195,59 @@ class FriProver:
         pos = list(positions)
         for layer in self.layers:
             pos = fold_positions(pos, N)
-            rows = [layer.row(p) for p in pos]
+            rows = layer.rows_bulk(pos)
             flattened = [v for row in rows for v in row]
             mproof = layer.tree.prove(pos)
             proof_layers.append(LayerProof(flattened, mproof, layer.tree.root()))
         return FriProof(proof_layers, self.remainder_coeffs)
 
 
+@functools.partial(jax.jit, static_argnames=("N",))
+def _fold_core_ext3(coeffs: fd.Ext3, alpha: fd.Ext3, N: int) -> fd.Ext3:
+    """out[i] = N * sum_j coeffs[i*N+j] * alpha^j  (alpha is a traced scalar
+    so a new transcript never recompiles)."""
+    n = coeffs[0][0].shape[0]
+    resh = tuple((c[0].reshape(n // N, N), c[1].reshape(n // N, N))
+                 for c in coeffs)
+    acc = _ext3_col(resh, 0)
+    apow = alpha
+    for j in range(1, N):
+        acc = fd.ext3_add(acc, fd.ext3_mul(_ext3_col(resh, j), apow))
+        if j != N - 1:
+            apow = fd.ext3_mul(apow, alpha)
+    return fd.ext3_mul_base(acc, fd.full((), N))
+
+
+@functools.partial(jax.jit, static_argnames=("N",))
+def _fold_core_fp(coeffs: fd.Fp2, alpha: fd.Fp2, N: int) -> fd.Fp2:
+    n = coeffs[0].shape[0]
+    lo = coeffs[0].reshape(n // N, N)
+    hi = coeffs[1].reshape(n // N, N)
+    acc = (lo[:, 0], hi[:, 0])
+    apow = alpha
+    for j in range(1, N):
+        acc = fd.add(acc, fd.mul((lo[:, j], hi[:, j]), apow))
+        if j != N - 1:
+            apow = fd.mul(apow, alpha)
+    return fd.mul_const(acc, N)
+
+
 def fold_evals(evals: fd.Ext3, n: int, N: int, alpha) -> fd.Ext3:
     """One degree-respecting projection: plain iNTT, *N scale, fold coeff
     chunks by alpha powers, plain NTT on the smaller domain."""
-    dom = Domain(n)
-    coeffs = dom.ifft_ext3(evals)
-    coeffs = fd.ext3_mul_base(coeffs, fd.full((n,), N))
-    alpha = scalar_to_ext3(alpha)
-    # fold: out[i] = sum_j coeffs[i*N+j] * alpha^j
-    resh = tuple((c[0].reshape(n // N, N), c[1].reshape(n // N, N)) for c in coeffs)
-    apows = [Fq3.one()]
-    for _ in range(N - 1):
-        apows.append(apows[-1] * alpha)
-    acc = _ext3_col(resh, 0)
-    for j in range(1, N):
-        term = fd.ext3_mul(_ext3_col(resh, j), _bcast_scalar(apows[j], n // N))
-        acc = fd.ext3_add(acc, term)
-    small = Domain(n // N)
-    return small.fft_ext3(acc)
+    coeffs = Domain(n).ifft_ext3(evals)
+    a = fq3_to_device_scalar(scalar_to_ext3(alpha))
+    folded = _fold_core_ext3(coeffs, a, N)
+    return Domain(n // N).fft_ext3(folded)
+
+
+def fold_evals_fp(evals: fd.Fp2, n: int, N: int, alpha: Fp) -> fd.Fp2:
+    """Base-field fold (fq == fp): identical algebra on one component."""
+    coeffs = Domain(n).ifft_fp(evals)
+    a = (jnp.asarray(alpha.v & 0xFFFFFFFF, fd.U32),
+         jnp.asarray(alpha.v >> 32, fd.U32))
+    folded = _fold_core_fp(coeffs, a, N)
+    return Domain(n // N).fft_fp(folded)
 
 
 def fold_positions(positions: list[int], N: int) -> list[int]:

@@ -88,6 +88,16 @@ class Matrix:
         """Row `pos` of the bit-reversed ordering of this natural matrix."""
         return self.get_row(bit_reverse_index(self.num_rows, pos))
 
+    def get_bit_reversed_rows(self, positions: list[int]) -> list[list[Fp]]:
+        """Bulk variant: ONE device gather + transfer for all query rows."""
+        n = self.num_rows
+        idx = jnp.asarray([bit_reverse_index(n, p) for p in positions])
+        lo = np.asarray(self.lo[:, idx], dtype=np.uint64)
+        hi = np.asarray(self.hi[:, idx], dtype=np.uint64)
+        vals = lo | (hi << np.uint64(32))
+        return [[Fp(int(vals[c, i])) for c in range(self.num_cols)]
+                for i in range(len(positions))]
+
     def to_ints(self) -> np.ndarray:
         return fd.unpack_np((self.lo, self.hi))
 
@@ -151,3 +161,17 @@ class MatrixExt3:
 
     def get_bit_reversed_row(self, pos: int) -> list[Fq3]:
         return self.get_row(bit_reverse_index(self.num_rows, pos))
+
+    def get_bit_reversed_rows(self, positions: list[int]) -> list[list[Fq3]]:
+        n = self.num_rows
+        idx = jnp.asarray([bit_reverse_index(n, p) for p in positions])
+        comps = []
+        for k in range(3):
+            lo = np.asarray(self.c[k][0][:, idx], dtype=np.uint64)
+            hi = np.asarray(self.c[k][1][:, idx], dtype=np.uint64)
+            comps.append(lo | (hi << np.uint64(32)))
+        return [
+            [Fq3(int(comps[0][c, i]), int(comps[1][c, i]), int(comps[2][c, i]))
+             for c in range(self.num_cols)]
+            for i in range(len(positions))
+        ]

@@ -46,12 +46,24 @@ class MerkleView:
 # device-side build
 # ---------------------------------------------------------------------------
 
+def _lanes_backend() -> bool:
+    """Use the Pallas lane-major SHA kernel off-CPU (XLA:TPU runs each u32 op
+    as a separate HBM pass; the kernel keeps the compression in VMEM)."""
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
 def hash_rows_fp(cols_lo, cols_hi):
     """Row-hash an Fp matrix given stacked column limbs (ncols, n).
 
     Returns (n, 8) digest words on device. Row digest = SHA-256 of the
     concatenated 8-byte LE values in column order (= hash_elements of the row,
     src/hash.rs:92-100)."""
+    if _lanes_backend():
+        from .ops import sha256_pallas as spl
+
+        return jnp.transpose(spl.hash_rows_fp_lanes(cols_lo, cols_hi))
     row_lo = jnp.transpose(cols_lo)  # (n, ncols)
     row_hi = jnp.transpose(cols_hi)
     words = dsha.fp_rows_to_words(row_lo, row_hi)
@@ -62,6 +74,10 @@ def hash_rows_ext3(c0, c1, c2):
     """Row-hash an Fq3 matrix; each arg is ((ncols,n) lo, (ncols,n) hi).
 
     Serialization order per element: c0 || c1 || c2, each 8 bytes LE."""
+    if _lanes_backend():
+        from .ops import sha256_pallas as spl
+
+        return jnp.transpose(spl.hash_rows_ext3_lanes(c0, c1, c2))
     parts = []
     for comp in (c0, c1, c2):
         lo = jnp.transpose(comp[0])
@@ -86,58 +102,99 @@ def build_tree_levels(leaf_digest_words) -> list[np.ndarray]:
     return [np.asarray(l, dtype=np.uint32) for l in levels]
 
 
-class CommittedMerkleTree:
-    """A built tree: host copies of all levels, leaf digests included."""
+def build_tree_levels_device(leaf_digest_words) -> list:
+    """Device-resident tree build via the lane-major Pallas kernel: the
+    levels STAY on device ((8, m) lane-major); only root + queried paths
+    ever cross to the host (a 2^23-leaf tree is ~0.5 GB of digests — pulling
+    it through the TPU tunnel would dwarf the hash work)."""
+    from .ops import sha256_pallas as spl
 
-    def __init__(self, levels: list[np.ndarray]):
+    lanes = jnp.transpose(leaf_digest_words)  # (8, n)
+    levels = [lanes]
+    cur = lanes
+    while cur.shape[1] > 1:
+        cur = spl.merge_lanes(cur[:, 0::2], cur[:, 1::2])
+        levels.append(cur)
+    return levels
+
+
+class CommittedMerkleTree:
+    """A built tree; levels either host numpy (n,8) row-major or device
+    lane-major (8, n) fetched lazily in bulk at decommit time.
+
+    `hashfn` is the module providing merge/hash_elements (hash = SHA-256 or
+    hash_rpo = RPO-256) — the analogue of the reference's MerkleTreeConfig
+    parametrization (src/merkle.rs:57-66)."""
+
+    def __init__(self, levels: list, hashfn=H, device_lanes: bool = False):
         self.levels = levels
-        self.n = levels[0].shape[0]
+        self.hashfn = hashfn
+        self.device_lanes = device_lanes
+        self.n = int(levels[0].shape[1] if device_lanes else levels[0].shape[0])
         assert self.n & (self.n - 1) == 0 and self.n >= 2
+        self._root = None
 
     @staticmethod
     def from_leaf_words(leaf_digest_words) -> "CommittedMerkleTree":
+        if _lanes_backend():
+            return CommittedMerkleTree(
+                build_tree_levels_device(leaf_digest_words),
+                device_lanes=True)
         return CommittedMerkleTree(build_tree_levels(leaf_digest_words))
 
     @property
     def height(self) -> int:
         return self.n.bit_length() - 1
 
+    def _fetch(self, level: int, indices: list[int]) -> dict[int, bytes]:
+        """Bulk digest fetch from one level: {index: 32-byte digest}."""
+        if not indices:
+            return {}
+        if self.device_lanes:
+            idx = jnp.asarray(sorted(indices))
+            block = np.asarray(self.levels[level][:, idx],
+                               dtype=np.uint32)  # (8, k)
+            return {
+                i: b"".join(int(w).to_bytes(4, "big") for w in block[:, j])
+                for j, i in enumerate(sorted(indices))
+            }
+        return {i: _digest_at(self.levels[level], i) for i in indices}
+
     def root(self) -> bytes:
-        return _digest_at(self.levels[-1], 0)
+        if self._root is None:
+            self._root = self._fetch(len(self.levels) - 1, [0])[0]
+        return self._root
 
     def leaf(self, i: int) -> bytes:
-        return _digest_at(self.levels[0], i)
+        return self._fetch(0, [i])[i]
 
     def node(self, level: int, i: int) -> bytes:
         """level 0 = leaves."""
-        return _digest_at(self.levels[level], i)
+        return self._fetch(level, [i])[i]
 
     # -- multi-proof generation (queue algorithm, src/merkle.rs:149-207) -----
 
-    def prove(self, indices: list[int]) -> MerkleView:
+    def _plan(self, idx: list[int]):
+        """Queue simulation on indices only: returns (initial leaf indices,
+        sibling leaf indices, internal-node flat indices) in emission order."""
         n = self.n
-        for i in indices:
-            if i >= n:
-                raise IndexError(f"leaf index {i} out of bounds for {n} leaves")
-        idx = sorted(set(indices))
-
-        initial_leaves: list[bytes] = []
-        sibling_leaves: list[bytes] = []
-        node_queue: list[int] = []  # indices in the conceptual nodes array (root=1)
-        leaf_queue = list(idx)
+        initial: list[int] = []
+        siblings: list[int] = []
+        node_queue: list[int] = []
         qi = 0
+        leaf_queue = list(idx)
         while qi < len(leaf_queue):
             index = leaf_queue[qi]
             qi += 1
-            initial_leaves.append(self.leaf(index))
+            initial.append(index)
             node_queue.append((n + index) >> 1)
             if qi < len(leaf_queue) and leaf_queue[qi] == index ^ 1:
-                initial_leaves.append(self.leaf(index ^ 1))
+                initial.append(index ^ 1)
                 qi += 1
                 continue
-            sibling_leaves.append(self.leaf(index ^ 1))
+            siblings.append(index ^ 1)
 
-        nodes: list[bytes] = []
+        flat_nodes: list[int] = []
         qn = 0
         while qn < len(node_queue):
             index = node_queue[qn]
@@ -147,22 +204,42 @@ class CommittedMerkleTree:
             if qn < len(node_queue) and node_queue[qn] == index ^ 1:
                 qn += 1
                 continue
-            nodes.append(self._node_by_flat_index(index ^ 1))
+            flat_nodes.append(index ^ 1)
+        return initial, siblings, flat_nodes
 
-        return MerkleView(nodes, initial_leaves, sibling_leaves, self.height)
+    def prove(self, indices: list[int]) -> MerkleView:
+        n = self.n
+        for i in indices:
+            if i >= n:
+                raise IndexError(f"leaf index {i} out of bounds for {n} leaves")
+        idx = sorted(set(indices))
+        initial, siblings, flat_nodes = self._plan(idx)
 
-    def _node_by_flat_index(self, flat: int) -> bytes:
-        """flat index in the 1-rooted array of internal nodes: depth d has
-        indices [2^d, 2^{d+1}); level-from-leaves = height - d.
+        leaves = self._fetch(0, list(set(initial) | set(siblings)))
+        by_level: dict[int, set[int]] = {}
+        for flat in flat_nodes:
+            if flat == 0:
+                continue
+            depth = flat.bit_length() - 1
+            by_level.setdefault(self.height - depth, set()).add(
+                flat - (1 << depth))
+        fetched = {lvl: self._fetch(lvl, sorted(ix))
+                   for lvl, ix in by_level.items()}
 
-        flat == 0 only occurs for the degenerate 2-leaf tree, where the
-        reference emits its default (all-zero) digest for the unused slot."""
-        if flat == 0:
-            return H.ZERO_DIGEST
-        depth = flat.bit_length() - 1
-        level = self.height - depth  # levels[level] has 2^depth entries
-        pos = flat - (1 << depth)
-        return self.node(level, pos)
+        def node_bytes(flat: int) -> bytes:
+            # flat == 0 only occurs for the degenerate 2-leaf tree, where the
+            # reference emits its default (all-zero) digest for the unused slot
+            if flat == 0:
+                return H.ZERO_DIGEST
+            depth = flat.bit_length() - 1
+            return fetched[self.height - depth][flat - (1 << depth)]
+
+        return MerkleView(
+            [node_bytes(f) for f in flat_nodes],
+            [leaves[i] for i in initial],
+            [leaves[i] for i in siblings],
+            self.height,
+        )
 
 
 def _digest_at(level: np.ndarray, i: int) -> bytes:
@@ -177,7 +254,8 @@ class InvalidProof(Exception):
     pass
 
 
-def verify_view(root: bytes, proof: MerkleView, indices: list[int]) -> None:
+def verify_view(root: bytes, proof: MerkleView, indices: list[int],
+                hashfn=H) -> None:
     height = proof.height
     n = 1 << height
     for i in indices:
@@ -197,14 +275,14 @@ def verify_view(root: bytes, proof: MerkleView, indices: list[int]) -> None:
         qi += 1
         node_index = (n + index) >> 1
         if qi < len(leaf_queue) and leaf_queue[qi][0] == index ^ 1:
-            node_queue.append((node_index, H.merge(leaf, leaf_queue[qi][1])))
+            node_queue.append((node_index, hashfn.merge(leaf, leaf_queue[qi][1])))
             qi += 1
             continue
         if si >= len(siblings):
             raise InvalidProof("missing sibling leaf")
         sib = siblings[si]
         si += 1
-        h = H.merge(leaf, sib) if index % 2 == 0 else H.merge(sib, leaf)
+        h = hashfn.merge(leaf, sib) if index % 2 == 0 else hashfn.merge(sib, leaf)
         node_queue.append((node_index, h))
     if si != len(siblings):
         raise InvalidProof("extra sibling leaves")
@@ -222,28 +300,29 @@ def verify_view(root: bytes, proof: MerkleView, indices: list[int]) -> None:
                 raise InvalidProof("root mismatch")
             return
         if qn < len(node_queue) and node_queue[qn][0] == index ^ 1:
-            node_queue.append((index >> 1, H.merge(h, node_queue[qn][1])))
+            node_queue.append((index >> 1, hashfn.merge(h, node_queue[qn][1])))
             qn += 1
             continue
         if ni >= len(nodes):
             raise InvalidProof("missing node")
         sib = nodes[ni]
         ni += 1
-        nh = H.merge(h, sib) if index % 2 == 0 else H.merge(sib, h)
+        nh = hashfn.merge(h, sib) if index % 2 == 0 else hashfn.merge(sib, h)
         node_queue.append((index >> 1, nh))
     raise InvalidProof("proof did not reach root")
 
 
-def verify_rows(root: bytes, row_ids: list[int], rows: list, proof: MerkleView) -> None:
+def verify_rows(root: bytes, row_ids: list[int], rows: list, proof: MerkleView,
+                hashfn=H) -> None:
     """Verify matrix rows: dedupe/sort by id, hash each row with
     hash_elements, compare to initial leaves, then verify paths
     (src/merkle.rs:363-385)."""
     inst = sorted({rid: row for rid, row in zip(row_ids, rows)}.items())
     indices = [rid for rid, _ in inst]
-    leaves = [H.hash_elements(row) for _, row in inst]
+    leaves = [hashfn.hash_elements(row) for _, row in inst]
     if leaves != proof.initial_leaves:
         raise InvalidProof("row hash mismatch")
-    verify_view(root, proof, indices)
+    verify_view(root, proof, indices, hashfn)
 
 
 # ---------------------------------------------------------------------------

@@ -80,9 +80,25 @@ class FibAirConfig:
 
 
 def gen_trace(n: int) -> FibTrace:
-    """n total values (n/8 rows), vectorized trace generation."""
+    """n total values (n/8 rows); native C++ generation when available
+    (the chain is sequential — ~10M field muls at the 2^21-row target)."""
     assert n & (n - 1) == 0 and n > 8
     num_rows = n // NUM_COLS
+
+    from .. import native
+    lib = native.get_lib()
+    if lib is not None:
+        import ctypes
+        if not hasattr(lib, "_fib_ready"):
+            lib.gen_fib_trace.restype = None
+            lib.gen_fib_trace.argtypes = [ctypes.POINTER(ctypes.c_uint64),
+                                          ctypes.c_size_t]
+            lib._fib_ready = True
+        rows = np.zeros((num_rows, NUM_COLS), dtype=np.uint64)
+        lib.gen_fib_trace(rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                          num_rows)
+        return FibTrace(Matrix.from_columns_np(rows.T))
+
     rows = np.zeros((num_rows, NUM_COLS), dtype=np.uint64)
     v = [1, 2]
     for k in range(2, NUM_COLS):

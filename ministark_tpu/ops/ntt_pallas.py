@@ -60,7 +60,9 @@ def stage_twiddles(root: int, n1: int):
         vals = np.array([int(pw[r % half]) for r in r_idx], dtype=np.uint64)
         out_lo[s - 1, :, 0] = (vals & 0xFFFFFFFF).astype(np.uint32)
         out_hi[s - 1, :, 0] = (vals >> 32).astype(np.uint32)
-    return (jnp.asarray(out_lo), jnp.asarray(out_hi))
+    # numpy (not jnp): this function is reached inside jit traces, and
+    # caching trace-created jnp arrays leaks tracers
+    return (out_lo, out_hi)
 
 
 def _col_ntt_kernel(x_lo_ref, x_hi_ref, tw_lo_ref, tw_hi_ref,

@@ -165,12 +165,15 @@ def build_queries(air, base_lde, ext_lde, comp_lde, base_tree, ext_tree,
                   comp_tree, positions) -> Queries:
     """Decommit trace rows at bit-reversed query positions
     (src/trace.rs:114-157)."""
+    base_rows = base_lde.get_bit_reversed_rows(positions)
+    ext_rows = ext_lde.get_bit_reversed_rows(positions) if ext_lde is not None else None
+    comp_rows = comp_lde.get_bit_reversed_rows(positions)
     base_values, ext_values, comp_values = [], [], []
-    for pos in positions:
-        base_values.extend(base_lde.get_bit_reversed_row(pos))
-        if ext_lde is not None:
-            ext_values.extend(ext_lde.get_bit_reversed_row(pos))
-        comp_values.extend(comp_lde.get_bit_reversed_row(pos))
+    for i, pos in enumerate(positions):
+        base_values.extend(base_rows[i])
+        if ext_rows is not None:
+            ext_values.extend(ext_rows[i])
+        comp_values.extend(comp_rows[i])
     return Queries(
         base_trace_values=base_values,
         extension_trace_values=ext_values,

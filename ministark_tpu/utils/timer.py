@@ -21,5 +21,5 @@ class Timer:
     def __exit__(self, *exc):
         if Timer.enabled:
             dt = time.perf_counter() - self.start
-            print(f"{self.name}: {dt * 1000:.1f}ms")
+            print(f"{self.name}: {dt * 1000:.1f}ms", flush=True)
         return False

@@ -207,3 +207,22 @@ void merkle_build(const uint8_t* leaves, size_t n, uint8_t* nodes) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// fib example trace generation (examples/fib/main.rs:175-222 semantics):
+// 8 columns x num_rows, row-major output buffer
+void gen_fib_trace(uint64_t* out, size_t num_rows) {
+    uint64_t v[8];
+    v[0] = 1; v[1] = 2;
+    for (int k = 2; k < 8; k++) v[k] = gl_mul(v[k - 2], v[k - 1]);
+    for (size_t r = 0; r < num_rows; r++) {
+        memcpy(out + r * 8, v, sizeof(v));
+        uint64_t n0 = gl_mul(v[6], v[7]);
+        uint64_t n1 = gl_mul(v[7], n0);
+        v[0] = n0; v[1] = n1;
+        for (int k = 2; k < 8; k++) v[k] = gl_mul(v[k - 2], v[k - 1]);
+    }
+}
+
+}  // extern "C"
