@@ -23,8 +23,11 @@ while every step is an elementwise map or a batched inversion.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .fields import device as fd
 from .fields.scalar import Fp, Fq3, P
@@ -53,20 +56,84 @@ def fq3_to_device_scalar(v: Fq3) -> fd.Ext3:
     )
 
 
-def _bcast_scalar(v: Fq3, n: int) -> fd.Ext3:
-    return tuple(fd.full((n,), c.v) for c in (v.c0, v.c1, v.c2))
+# ---------------------------------------------------------------------------
+# the OOD program: ONE jitted dispatch for all barycentric work
+# ---------------------------------------------------------------------------
+# The remote-TPU relay charges ~50-150ms latency per dispatch, so the whole
+# OOD phase — (y - x) differences, batched inversions, weighted tree sums for
+# every (point, column) pair — runs as a single compiled program, cached by
+# shape signature.  OOD points enter as traced inputs: a new transcript never
+# recompiles.
 
+@functools.lru_cache(maxsize=None)
+def _ood_program(n: int, nb: int, ne: int, nc: int, npts: int,
+                 fq_is_ext: bool):
+    """Returns a compiled-on-first-use jitted fn.
 
-def _tree_sum_ext3(a: fd.Ext3) -> fd.Ext3:
-    return tuple(_tree_sum_fp(c) for c in a)
+    Inputs (fq_is_ext=True):
+      ys:   Ext3 (npts,)  — distinct OOD points; LAST one is z^m
+      x:    Fp2 (n,)      — LDE domain points
+      gpow: Fp2 (n,)      — g^i table
+      base: (nb, n) Fp2; ext: (ne, n) Ext3 or (); comp: (nc, n) Ext3
+    Outputs:
+      trace_sums: Ext3 (npts-1, nb+ne) — unscaled barycentric sums
+      comp_sums:  Ext3 (nc,)
+      invs:       Ext3 (npts, n) — 1/(y_j - x_i), reused by the DEEP pass
+    When fq_is_ext=False every Ext3 above is an Fp2 pair instead.
+    """
 
+    def prog_fp(ys, x, gpow, base, comp):
+        yb = (ys[0][:, None], ys[1][:, None])
+        diff = fd.sub(yb, (x[0][None, :], x[1][None, :]))
+        invs = fd.batch_inv(diff)
+        t_sums, c_sums = [], []
+        for j in range(npts):
+            w = fd.mul((invs[0][j], invs[1][j]), gpow)  # (n,)
+            if j < npts - 1:
+                prod = fd.mul(base, (w[0][None, :], w[1][None, :]))
+                t_sums.append(_tree_sum_fp(prod))  # (nb,)
+            else:
+                prod = fd.mul(comp, (w[0][None, :], w[1][None, :]))
+                c_sums = _tree_sum_fp(prod)  # (nc,)
+        trace_sums = (jnp.stack([s[0] for s in t_sums]),
+                      jnp.stack([s[1] for s in t_sums]))
+        return trace_sums, c_sums, invs
 
-def _sub_scalar_from_x(x_lde: fd.Fp2, y: Fq3) -> fd.Ext3:
-    """(x_i - y) with x_i base-field points, y an Fq3 scalar."""
-    n = x_lde[0].shape[-1]
-    yb = _bcast_scalar(y, n)
-    x_e = fd.ext3_from_base(x_lde)
-    return fd.ext3_sub(x_e, yb)
+    def prog_ext(ys, x, gpow, base, ext, comp):
+        yb = tuple((c[0][:, None], c[1][:, None]) for c in ys)
+        xe = fd.ext3_from_base((x[0][None, :], x[1][None, :]))
+        diff = fd.ext3_sub(yb, xe)
+        invs = fd.ext3_batch_inv(diff)
+        # trace columns as Ext3: base promoted (zero c1/c2) + ext
+        zeros_b = jnp.zeros_like(base[0])
+        base_e = ((base[0], base[1]), (zeros_b, zeros_b), (zeros_b, zeros_b))
+        if ne:
+            tcols = tuple(
+                (jnp.concatenate([base_e[k][0], ext[k][0]], axis=0),
+                 jnp.concatenate([base_e[k][1], ext[k][1]], axis=0))
+                for k in range(3))
+        else:
+            tcols = base_e
+        t_sums, c_sums = [], None
+        for j in range(npts):
+            inv_j = tuple((c[0][j], c[1][j]) for c in invs)
+            w = fd.ext3_mul_base(inv_j, gpow)  # Ext3 (n,)
+            wb = tuple((c[0][None, :], c[1][None, :]) for c in w)
+            if j < npts - 1:
+                prod = fd.ext3_mul(tcols, wb)
+                t_sums.append(tuple(_tree_sum_fp(c) for c in prod))
+            else:
+                prod = fd.ext3_mul(comp, wb)
+                c_sums = tuple(_tree_sum_fp(c) for c in prod)
+        trace_sums = tuple(
+            (jnp.stack([s[k][0] for s in t_sums]),
+             jnp.stack([s[k][1] for s in t_sums]))
+            for k in range(3))
+        return trace_sums, c_sums, invs
+
+    if fq_is_ext:
+        return jax.jit(prog_ext)
+    return jax.jit(prog_fp)
 
 
 class DeepPolyComposer:
@@ -101,45 +168,25 @@ class DeepPolyComposer:
             pts.append((col, offset, z * Fp(pow(gen, abs(offset), P))))
         return pts
 
-    def _distinct_points(self):
-        """All distinct OOD points: trace-argument points + z^m."""
-        pts = {}
-        for (col, off, y) in self._trace_points():
-            pts.setdefault(("t", off), y)
+    def _distinct_point_keys(self):
+        """Distinct OOD point keys (insertion order) + values; the
+        composition point z^m is always LAST."""
+        keys, vals = [], []
+        for (_col, off, y) in self._trace_points():
+            if ("t", off) not in keys:
+                keys.append(("t", off))
+                vals.append(y)
         m = self.composition_lde.num_cols
-        pts[("c", 0)] = self._zq() ** m
-        return pts
+        keys.append(("c", 0))
+        vals.append(self._zq() ** m)
+        return keys, vals
 
-    # -- barycentric machinery -------------------------------------------------
-
-    def _bary_weights(self, y: Fq3):
-        """inv(y - x_i) over the LDE domain, and the scalar prefactor
-        (y^N - o^N) / (N * o^(N-1))."""
+    def _scale_of(self, y: Fq3) -> Fq3:
+        """Barycentric prefactor (y^N - o^N) / (N * o^(N-1)) — exact host
+        arithmetic."""
         dom = self.lde_dom
-        x = dom.elements_device()
-        diff = fd.ext3_sub(_bcast_scalar(y, dom.size), fd.ext3_from_base(x))
-        inv = fd.ext3_batch_inv(diff)
-        scale = (y ** dom.size - Fp(dom.offset_pow_size())) / (
+        return (y ** dom.size - Fp(dom.offset_pow_size())) / (
             Fp(dom.size) * Fp(pow(dom.offset, dom.size - 1, P)))
-        return inv, scale
-
-    def _eval_columns_at(self, cols_ext3: fd.Ext3, inv_vec: fd.Ext3, scale: Fq3):
-        """Barycentric evaluation of (ncols, N) Ext3 column evals at one OOD
-        point; returns list of scalar Fq3."""
-        dom = self.lde_dom
-        gpow = powers(dom.group_gen, dom.size)  # g^i table (cached)
-        ncols = cols_ext3[0][0].shape[0]
-        n = dom.size
-        w = fd.ext3_mul_base(inv_vec, gpow)  # shared weights
-        wb = tuple((jnp.broadcast_to(c[0], (ncols, n)),
-                    jnp.broadcast_to(c[1], (ncols, n))) for c in w)
-        prods = fd.ext3_mul(cols_ext3, wb)
-        sums = _tree_sum_ext3(prods)  # (ncols,) scalars per component
-        out = []
-        for i in range(ncols):
-            v = Fq3(*[int(c[0][i]) | (int(c[1][i]) << 32) for c in sums])
-            out.append(v * scale)
-        return out
 
     def _base_as_ext3(self) -> fd.Ext3:
         m = self.base_lde
@@ -156,40 +203,84 @@ class DeepPolyComposer:
     # -- OOD evaluations (src/composer.rs:43-86 semantics) ---------------------
 
     def get_ood_evals(self):
+        """All OOD evaluations in ONE device dispatch + ONE host readback
+        (the relay charges high latency per dispatch; see _ood_program)."""
         trace_pts = self._trace_points()
-        distinct = self._distinct_points()
+        point_keys, point_vals = self._distinct_point_keys()
+        dom = self.lde_dom
+        n = dom.size
+        nb = self.base_lde.num_cols
+        ne = (self.extension_lde.num_cols
+              if self.extension_lde is not None else 0)
+        nc = self.composition_lde.num_cols
+        npts = len(point_vals)
 
-        bary = {}
-        for key, y in distinct.items():
-            bary[key] = self._bary_weights(y)
+        x = dom.elements_device()
+        gpow = powers(dom.group_gen, n)
+        prog = _ood_program(n, nb, ne, nc, npts, self.fq_is_ext)
 
-        base_cols = self._base_as_ext3()
-        ext_cols = self.extension_lde.as_ext3() if self.extension_lde is not None else None
-        comp_cols = self._comp_as_ext3()
-        num_base = self.base_lde.num_cols
+        if self.fq_is_ext:
+            ys = tuple(
+                (jnp.asarray(np.array(
+                    [getattr(p, f"c{k}").v & 0xFFFFFFFF for p in point_vals],
+                    np.uint32)),
+                 jnp.asarray(np.array(
+                     [getattr(p, f"c{k}").v >> 32 for p in point_vals],
+                     np.uint32)))
+                for k in range(3))
+            ext_in = (self.extension_lde.as_ext3() if ne else ())
+            trace_sums, comp_sums, invs = prog(
+                ys, x, gpow, (self.base_lde.lo, self.base_lde.hi), ext_in,
+                self._comp_as_ext3())
+            ts, cs = jax.device_get((trace_sums, comp_sums))
 
-        # evaluate every trace column at every distinct trace offset point
-        col_evals = {}  # ("t", off) -> list over all columns
-        for (kind, off), (inv_vec, scale) in bary.items():
-            if kind != "t":
-                continue
-            evals = self._eval_columns_at(base_cols, inv_vec, scale)
-            if ext_cols is not None:
-                evals += self._eval_columns_at(ext_cols, inv_vec, scale)
-            col_evals[("t", off)] = evals
+            def tval(j, i):
+                return Fq3(*[int(ts[k][0][j][i]) | (int(ts[k][1][j][i]) << 32)
+                             for k in range(3)])
 
+            def cval(i):
+                return Fq3(*[int(cs[k][0][i]) | (int(cs[k][1][i]) << 32)
+                             for k in range(3)])
+        else:
+            vals = [p.c0.v for p in point_vals]  # c1 = c2 = 0 when fq == fp
+            ys = (jnp.asarray(np.array([v & 0xFFFFFFFF for v in vals],
+                                       np.uint32)),
+                  jnp.asarray(np.array([v >> 32 for v in vals], np.uint32)))
+            m = self.composition_lde
+            trace_sums, comp_sums, invs = prog(
+                ys, x, gpow, (self.base_lde.lo, self.base_lde.hi),
+                (m.lo, m.hi))
+            ts, cs = jax.device_get((trace_sums, comp_sums))
+
+            def tval(j, i):
+                return Fq3.from_base(Fp(int(ts[0][j][i])
+                                        | (int(ts[1][j][i]) << 32)))
+
+            def cval(i):
+                return Fq3.from_base(Fp(int(cs[0][i]) | (int(cs[1][i]) << 32)))
+
+        scales = [self._scale_of(y) for y in point_vals]
         execution_oods = []
-        for (col, off, y) in trace_pts:
-            execution_oods.append(col_evals[("t", off)][col])
+        for (col, off, _y) in trace_pts:
+            j = point_keys.index(("t", off))
+            execution_oods.append(tval(j, col) * scales[j])
+        composition_oods = [cval(i) * scales[-1] for i in range(nc)]
 
-        inv_vec, scale = bary[("c", 0)]
-        composition_oods = self._eval_columns_at(comp_cols, inv_vec, scale)
-
-        self._cache = (trace_pts, distinct, bary, execution_oods, composition_oods)
+        self._cache = (trace_pts, point_keys, invs, execution_oods,
+                       composition_oods)
         if not self.fq_is_ext:
             return ([self._demote(v) for v in execution_oods],
                     [self._demote(v) for v in composition_oods])
         return execution_oods, composition_oods
+
+    def _inv_slice(self, key):
+        """1/(y - x) vector for a distinct-point key, sliced from the OOD
+        program's stacked output (Ext3 when fq is the extension, else Fp2)."""
+        trace_pts, point_keys, invs, _e, _c = self._cache
+        j = point_keys.index(key)
+        if self.fq_is_ext:
+            return tuple((c[0][j], c[1][j]) for c in invs)
+        return (invs[0][j], invs[1][j])
 
     def _demote(self, v: Fq3):
         assert v.c1.is_zero() and v.c2.is_zero(), "OOD eval not in base field"
@@ -202,7 +293,7 @@ class DeepPolyComposer:
         (what FRI consumes). One jitted program; transcript scalars enter as
         traced inputs so reproving never recompiles."""
         assert self._cache is not None, "call get_ood_evals first"
-        trace_pts, distinct, bary, exec_oods, comp_oods = self._cache
+        trace_pts, point_keys, invs, exec_oods, comp_oods = self._cache
         dom = self.lde_dom
         n = dom.size
         num_base = self.base_lde.num_cols
@@ -220,10 +311,14 @@ class DeepPolyComposer:
         ext_cols = self.extension_lde.as_ext3() if self.extension_lde is not None else None
         comp_cols = self._comp_as_ext3()
 
-        inv_t = {off: bary[("t", off)][0] for (_c, off, _y) in trace_pts}
+        def _ext_inv(key):
+            iv = self._inv_slice(key)
+            return iv if self.fq_is_ext else fd.ext3_from_base(iv)
+
+        inv_t = {off: _ext_inv(("t", off)) for (_c, off, _y) in trace_pts}
         inv_offsets = tuple(sorted(inv_t))
         inv_arrays = [inv_t[o] for o in inv_offsets]
-        inv_c = bary[("c", 0)][0]
+        inv_c = _ext_inv(("c", 0))
 
         dev = fq3_to_device_scalar
         exec_alphas = [dev(scalar_to_ext3(a)) for a in coeffs.execution_trace]
@@ -291,7 +386,7 @@ class DeepPolyComposer:
         saving over the Ext3-promoted path."""
         from .ops.deep_pallas import deep_lde_fused
 
-        trace_pts, _distinct, bary, exec_oods, comp_oods = self._cache
+        trace_pts, point_keys, _invs, exec_oods, comp_oods = self._cache
         dom = self.lde_dom
         n = dom.size
         num_base = self.base_lde.num_cols
@@ -312,8 +407,7 @@ class DeepPolyComposer:
 
         def inv_of(key):
             if key not in inv_planes:
-                full = bary[key][0]  # Ext3 always (bary runs in Ext3)
-                inv_planes[key] = full if fq_is_ext else full[0]
+                inv_planes[key] = self._inv_slice(key)
             return key
 
         terms = []

@@ -37,6 +37,9 @@ from .fields import device as fd
 from .fields.scalar import Fp, Fq3, P
 
 
+_DENOM_JIT_CACHE: dict = {}
+
+
 class _Val:
     """Tagged evaluation value: host scalar constant or device array."""
 
@@ -327,19 +330,33 @@ def eval_composition(
             key_memo[id(node.b)] = k
             denom_by_key.setdefault(k, node.b)
 
-    inv_by_key = {}
-    for k, dnode in denom_by_key.items():
-        def run_denom(x_lde_in, base_in, ext_in, scl, dnode=dnode):
-            c = dict(ctx)
-            c["x_lde"] = x_lde_in
-            c["base_cols"] = base_in
-            c["ext_cols"] = ext_in
-            c.update(scl)
-            val = ev._materialize(ev.evaluate_raw(dnode, c))
-            if val.kind == "fq" and fq_is_ext:
-                return fd.ext3_batch_inv(val.v)
-            return fd.batch_inv(val.v)
-        inv_by_key[k] = jax.jit(run_denom)(x_lde, base_cols, ext_cols or [], scalars)
+    # ALL denominator inverses in ONE jitted dispatch; the jit wrapper is
+    # cached by AIR/shape signature so re-proving (or proving again with a
+    # fresh Air of the same config+size) never re-traces or recompiles.
+    air_sig = (type(air.config).__qualname__
+               if not isinstance(air.config, type)
+               else air.config.__qualname__,
+               air.trace_len, air.ce_blowup_factor, n, fq_is_ext,
+               tuple(sorted(denom_by_key)))
+    if air_sig not in _DENOM_JIT_CACHE:
+        denom_items = tuple(sorted(denom_by_key.items()))
+        trace_len = air.trace_len
+
+        def run_denoms(x_lde_in, base_in, ext_in, scl):
+            c = {"x_lde": x_lde_in, "base_cols": base_in,
+                 "ext_cols": ext_in, "trace_len": trace_len, **scl}
+            out = {}
+            for k, dnode in denom_items:
+                val = ev._materialize(ev.evaluate_raw(dnode, c))
+                if val.kind == "fq" and fq_is_ext:
+                    out[k] = fd.ext3_batch_inv(val.v)
+                else:
+                    out[k] = fd.batch_inv(val.v)
+            return out
+
+        _DENOM_JIT_CACHE[air_sig] = jax.jit(run_denoms)
+    inv_by_key = _DENOM_JIT_CACHE[air_sig](
+        x_lde, base_cols, ext_cols or [], scalars)
 
     # -- phase 2: term evaluation --------------------------------------------
     # Off-CPU the fused Pallas kernels evaluate term groups entirely in VMEM

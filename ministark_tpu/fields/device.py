@@ -299,7 +299,13 @@ def _shifted_prefix_products(a: Fp2, axis: int):
     Chosen over lax.associative_scan because its unrolled lowering is tiny
     (one field-mul + one pad per level) — XLA compile time is superlinear in
     graph size and our field ops are ~10^2 HLO each.  Returns EXCLUSIVE
-    prefix products (ones at position 0)."""
+    prefix products (ones at position 0).
+
+    Every level is fenced with an optimization_barrier: without it XLA fuses
+    the whole doubling chain into downstream elementwise consumers and
+    recomputes it PER OUTPUT ELEMENT — each level reads two shifted copies of
+    the previous one, so fused cost is O(2^levels) per element (measured:
+    a 4096-point batch_inv went from 9 ms to 134 s on XLA:CPU)."""
     n = a[0].shape[axis]
 
     def shift_right(x, k):
@@ -313,7 +319,7 @@ def _shifted_prefix_products(a: Fp2, axis: int):
     pref = shift_right(a, 1)  # exclusive
     k = 1
     while k < n:
-        pref = mul(pref, shift_right(pref, k))
+        pref = jax.lax.optimization_barrier(mul(pref, shift_right(pref, k)))
         k *= 2
     return pref
 
@@ -333,7 +339,7 @@ def _shifted_suffix_products(a: Fp2, axis: int):
     suff = shift_left(a, 1)
     k = 1
     while k < n:
-        suff = mul(suff, shift_left(suff, k))
+        suff = jax.lax.optimization_barrier(mul(suff, shift_left(suff, k)))
         k *= 2
     return suff
 
@@ -354,12 +360,34 @@ def _pallas_inv_mode(shape):
     return None
 
 
+def _host_batch_inv_np(lo, hi):
+    """Whole-array inverse on the host: vectorized numpy Fermat chain
+    (npfield.inv), 0 -> 0."""
+    from . import npfield
+
+    return npfield.to_limbs(npfield.inv(npfield.from_limbs(lo, hi)))
+
+
+def _batch_inv_host(a: Fp2) -> Fp2:
+    shape = jnp.shape(a[0])
+    result_shape = (jax.ShapeDtypeStruct(shape, U32),
+                    jax.ShapeDtypeStruct(shape, U32))
+    return tuple(jax.pure_callback(_host_batch_inv_np, result_shape,
+                                   a[0], a[1]))
+
+
 def batch_inv(a: Fp2, axis: int = -1) -> Fp2:
     mode = _pallas_inv_mode(jnp.shape(a[0]))
     if mode is not None:
         from ..ops.inv_pallas import inv_fp_pallas
 
         return inv_fp_pallas(a, interpret=mode == "interpret")
+    if jax.default_backend() == "cpu":
+        # XLA:CPU drops optimization_barrier and re-fuses the Hillis-Steele
+        # doubling chains of _batch_inv_scan into their consumers, turning
+        # O(n log n) into O(n * 2^levels) (a 4096-pt inverse measured 134 s).
+        # The test backend instead inverts on the host (numpy Fermat chain).
+        return _batch_inv_host(a)
     return _batch_inv_scan(a, axis)
 
 

@@ -2,8 +2,8 @@
 
 Parity with the reference's second field family (gpu/src/fields.rs:239-268,
 gpu/src/metal/felt_u256.h.metal): modulus 2^251 + 17*2^192 + 1, generator 3.
-Device (limb-vector) support is tracked for a later round; the protocol layer
-is field-generic at the scalar level."""
+Device (16-bit-limb Montgomery vector) support lives in fields/bigvec.py
+(``Fp252Vec``); the protocol layer is field-generic at the scalar level."""
 
 from __future__ import annotations
 

@@ -49,7 +49,7 @@ def add(a, b):
         s = a + b
         wrapped = s < a
         s = s + wrapped.astype(U64) * _EPS
-    return np.where(s >= _P, s - _P, s)
+        return np.where(s >= _P, s - _P, s)
 
 
 def sub(a, b):
@@ -57,7 +57,7 @@ def sub(a, b):
         d = a - b
         borrow = a < b
         d = d - borrow.astype(U64) * _EPS
-    return np.where(d >= _P, d - _P, d)
+        return np.where(d >= _P, d - _P, d)
 
 
 def neg(a):
@@ -98,7 +98,7 @@ def mul(a, b):
         s = t + m
         wrapped = s < t
         s = s + wrapped.astype(U64) * _EPS
-    return np.where(s >= _P, s - _P, s)
+        return np.where(s >= _P, s - _P, s)
 
 
 def sqr(a):

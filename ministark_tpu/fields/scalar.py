@@ -44,14 +44,20 @@ class Fp:
 
     # -- arithmetic ---------------------------------------------------------
     def __add__(self, o):
+        if isinstance(o, Fq3):
+            return o + self
         return Fp(self.v + _val(o))
 
     __radd__ = __add__
 
     def __sub__(self, o):
+        if isinstance(o, Fq3):
+            return Fq3.from_base(self) - o
         return Fp(self.v - _val(o))
 
     def __rsub__(self, o):
+        if isinstance(o, Fq3):
+            return o - Fq3.from_base(self)
         return Fp(_val(o) - self.v)
 
     def __mul__(self, o):

@@ -84,7 +84,10 @@ def _powers_device(base: fd.Fp2, n: int) -> fd.Fp2:
         chunk = (out[0][:take], out[1][:take])
         stepb = (jnp.broadcast_to(step[0], (take,)), jnp.broadcast_to(step[1], (take,)))
         nxt = fd.mul(chunk, stepb)
-        out = (jnp.concatenate([out[0], nxt[0]]), jnp.concatenate([out[1], nxt[1]]))
+        # barrier: keep XLA from fusing the doubling chain into consumers
+        # (exponential per-element recompute; see fields/device.py scans)
+        out = jax.lax.optimization_barrier(
+            (jnp.concatenate([out[0], nxt[0]]), jnp.concatenate([out[1], nxt[1]])))
         if 2 * k < n:
             step = fd.mul(step, step)
         k *= 2
@@ -446,8 +449,36 @@ def poly_eval_fp(coeffs: fd.Fp2, z: int) -> fd.Fp2:
     return _tree_sum_fp(terms)
 
 
+def _host_tree_sum_np(lo, hi):
+    from .fields import npfield
+
+    a = npfield.from_limbs(lo, hi)
+    n = a.shape[-1]
+    while n > 1:
+        half = n // 2
+        s = npfield.add(a[..., :half], a[..., half:2 * half])
+        if n % 2 == 1:
+            a = np.concatenate([s, a[..., -1:]], axis=-1)
+            n = half + 1
+        else:
+            a = s
+            n = half
+    return npfield.to_limbs(a[..., 0])
+
+
 def _tree_sum_fp(a: fd.Fp2) -> fd.Fp2:
-    """Sum along last axis via halving (log-depth, exact mod p)."""
+    """Sum along last axis via halving (log-depth, exact mod p).
+
+    On the CPU backend the reduction runs as a host callback: XLA:CPU
+    re-fuses the halving chain into its producers with per-level recompute
+    (a 4096-wide sum inside the OOD program measured 468 s; see
+    fields/device.py batch_inv for the same pathology)."""
+    if jax.default_backend() == "cpu":
+        shape = jnp.shape(a[0])[:-1]
+        result_shape = (jax.ShapeDtypeStruct(shape, fd.U32),
+                        jax.ShapeDtypeStruct(shape, fd.U32))
+        return tuple(jax.pure_callback(_host_tree_sum_np, result_shape,
+                                       a[0], a[1]))
     n = a[0].shape[-1]
     while n > 1:
         if n % 2 == 1:

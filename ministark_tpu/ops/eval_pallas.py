@@ -226,52 +226,11 @@ def _kernel_factory(term_exprs, leaf_lookup, fq_is_ext):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("kernel_id", "n_out", "interpret"))
-def _run_group(scalars_lo, scalars_hi, inputs, kernel_id, n_out, interpret=False):
-    """kernel_id is a _KernelHandle (hashable static) wrapping the kernel fn."""
-    kernel = kernel_id.fn
-    n = inputs[0].shape[0] * inputs[0].shape[1]
-    rows = inputs[0].shape[0]
-    grid = (rows // BLOCK_R,)
-    vspec = pl.BlockSpec((BLOCK_R, BLOCK_C), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((scalars_lo.shape[0], 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[sspec, sspec] + [vspec] * len(inputs),
-        out_specs=tuple([vspec] * n_out),
-        out_shape=tuple(jax.ShapeDtypeStruct(inputs[0].shape, jnp.uint32)
-                        for _ in range(n_out)),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(scalars_lo, scalars_hi, *inputs)
-    return out
-
-
-class _KernelHandle:
-    """Hashable wrapper so jit can key on the kernel identity."""
-
-    _registry = {}
-
-    def __init__(self, fn, key):
-        self.fn = fn
-        self.key = key
-
-    def __hash__(self):
-        return hash(self.key)
-
-    def __eq__(self, other):
-        return isinstance(other, _KernelHandle) and self.key == other.key
-
-
 # ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
 
-_KERNEL_CACHE = {}
+_DRIVER_CACHE = {}
 
 
 def eval_composition_fused(air, composition_coeffs, challenges, hints,
@@ -291,50 +250,10 @@ def eval_composition_fused(air, composition_coeffs, challenges, hints,
     rewritten, leaf_map, input_descrs, scalar_descrs = build_plan(
         terms, key_memo, fq_is_ext, num_base)
 
-    # ---- assemble input planes (each (n,) -> (n/BLOCK_C, BLOCK_C)) ---------
     rows = n // BLOCK_C
     assert n % BLOCK_C == 0 and rows % BLOCK_R == 0, f"CE size {n} too small for fused path"
-
-    def shape2(arr):
-        return arr.reshape(rows, BLOCK_C)
-
     ce_blowup = air.ce_blowup_factor
-    inputs = []
-    for (descr, is_ext) in input_descrs:
-        kind = descr[0]
-        if kind == "x":
-            inputs += [shape2(x_lde[0]), shape2(x_lde[1])]
-        elif kind == "trace":
-            col, offset = descr[1], descr[2]
-            shift = ce_blowup * offset
-            if col < num_base:
-                c = base_cols[col]
-                inputs += [shape2(jnp.roll(c[0], -shift)),
-                           shape2(jnp.roll(c[1], -shift))]
-            else:
-                c = ext_cols[col - num_base]
-                for comp in c:
-                    inputs += [shape2(jnp.roll(comp[0], -shift)),
-                               shape2(jnp.roll(comp[1], -shift))]
-        elif kind == "periodic":
-            leaf = descr[1]
-            k = air.trace_len // leaf.interval_size
-            base = fd.pow_const(x_lde, k)
-            acc = fd.full((n,), leaf.coeffs[-1].v if isinstance(leaf.coeffs[-1], Fp)
-                          else int(leaf.coeffs[-1]))
-            for c in reversed(leaf.coeffs[:-1]):
-                cv = c.v if isinstance(c, Fp) else int(c)
-                acc = fd.add(fd.mul(acc, base), fd.full((n,), cv))
-            inputs += [shape2(acc[0]), shape2(acc[1])]
-        elif kind == "inv":
-            inv = inv_by_key[descr[1]]
-            if is_ext:
-                for comp in inv:
-                    inputs += [shape2(comp[0]), shape2(comp[1])]
-            else:
-                inputs += [shape2(inv[0]), shape2(inv[1])]
-        else:
-            raise AssertionError(descr)
+    trace_len = air.trace_len
 
     # ---- scalar table -------------------------------------------------------
     def scalar_values():
@@ -364,34 +283,100 @@ def eval_composition_fused(air, composition_coeffs, challenges, hints,
     s_lo = jnp.asarray(np.array([[v & 0xFFFFFFFF] for v in svals], np.uint32))
     s_hi = jnp.asarray(np.array([[v >> 32] for v in svals], np.uint32))
 
-    # ---- run groups ---------------------------------------------------------
+    # ---- ONE cached jitted driver: input assembly + every group kernel -----
+    # (the remote-TPU relay charges latency per dispatch; folding the rolls,
+    # the periodic mini-LDEs and all pallas group calls into one program makes
+    # the whole phase a single device round-trip, compiled once per AIR shape)
     n_out = 6 if fq_is_ext else 2
-    lookup = {"map": leaf_map, "num_planes": len(inputs)}
+    air_key = (type(air.config).__qualname__ if not isinstance(air.config, type)
+               else air.config.__qualname__,
+               trace_len, ce_blowup, n, fq_is_ext, interpret)
+    if air_key not in _DRIVER_CACHE:
+        num_planes = sum((6 if is_ext else 2) for (_d, is_ext) in input_descrs)
+        lookup = {"map": dict(leaf_map), "num_planes": num_planes}
+        handles = []
+        for g in range(0, len(rewritten), GROUP_SIZE):
+            group = rewritten[g:g + GROUP_SIZE]
+            handles.append(_kernel_factory(group, lookup, fq_is_ext))
+        descrs = tuple(input_descrs)
 
-    acc = None
-    for g in range(0, len(rewritten), GROUP_SIZE):
-        group = rewritten[g:g + GROUP_SIZE]
-        cache_key = (type(air.config).__qualname__ if not isinstance(air.config, type)
-                     else air.config.__qualname__,
-                     air.trace_len, air.ce_blowup_factor, g, interpret)
-        if cache_key not in _KERNEL_CACHE:
-            fn = _kernel_factory(group, lookup, fq_is_ext)
-            _KERNEL_CACHE[cache_key] = _KernelHandle(fn, cache_key)
-        handle = _KERNEL_CACHE[cache_key]
-        out = _run_group(s_lo, s_hi, tuple(inputs), handle, n_out, interpret)
-        if acc is None:
-            acc = out
-        else:
+        def driver(x_in, base_in, ext_in, invs_in, slo, shi):
+            def shape2(arr):
+                return arr.reshape(rows, BLOCK_C)
+
+            inputs = []
+            for (descr, is_ext) in descrs:
+                kind = descr[0]
+                if kind == "x":
+                    inputs += [shape2(x_in[0]), shape2(x_in[1])]
+                elif kind == "trace":
+                    col, offset = descr[1], descr[2]
+                    shift = ce_blowup * offset
+                    if col < num_base:
+                        c = base_in[col]
+                        inputs += [shape2(jnp.roll(c[0], -shift)),
+                                   shape2(jnp.roll(c[1], -shift))]
+                    else:
+                        c = ext_in[col - num_base]
+                        for comp in c:
+                            inputs += [shape2(jnp.roll(comp[0], -shift)),
+                                       shape2(jnp.roll(comp[1], -shift))]
+                elif kind == "periodic":
+                    leaf = descr[1]
+                    k = trace_len // leaf.interval_size
+                    base = fd.pow_const(x_in, k)
+                    c_last = leaf.coeffs[-1]
+                    acc_ = fd.full((n,), c_last.v if isinstance(c_last, Fp)
+                                   else int(c_last))
+                    for c in reversed(leaf.coeffs[:-1]):
+                        cv = c.v if isinstance(c, Fp) else int(c)
+                        acc_ = fd.add(fd.mul(acc_, base), fd.full((n,), cv))
+                    inputs += [shape2(acc_[0]), shape2(acc_[1])]
+                elif kind == "inv":
+                    inv = invs_in[descr[1]]
+                    if is_ext:
+                        for comp in inv:
+                            inputs += [shape2(comp[0]), shape2(comp[1])]
+                    else:
+                        inputs += [shape2(inv[0]), shape2(inv[1])]
+                else:
+                    raise AssertionError(descr)
+
+            vspec = pl.BlockSpec((BLOCK_R, BLOCK_C), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+            sspec = pl.BlockSpec((slo.shape[0], 1), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+            acc = None
+            for kernel in handles:
+                out = pl.pallas_call(
+                    kernel,
+                    grid=(rows // BLOCK_R,),
+                    in_specs=[sspec, sspec] + [vspec] * len(inputs),
+                    out_specs=tuple([vspec] * n_out),
+                    out_shape=tuple(
+                        jax.ShapeDtypeStruct((rows, BLOCK_C), jnp.uint32)
+                        for _ in range(n_out)),
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=100 * 1024 * 1024),
+                    interpret=interpret,
+                )(slo, shi, *inputs)
+                if acc is None:
+                    acc = out
+                elif fq_is_ext:
+                    a = tuple((acc[2 * k], acc[2 * k + 1]) for k in range(3))
+                    b = tuple((out[2 * k], out[2 * k + 1]) for k in range(3))
+                    s = fd.ext3_add(a, b)
+                    acc = tuple(x for comp in s for x in comp)
+                else:
+                    s = fd.add((acc[0], acc[1]), (out[0], out[1]))
+                    acc = (s[0], s[1])
+
+            flat = [a.reshape(n) for a in acc]
             if fq_is_ext:
-                a = tuple((acc[2 * k], acc[2 * k + 1]) for k in range(3))
-                b = tuple((out[2 * k], out[2 * k + 1]) for k in range(3))
-                s = fd.ext3_add(a, b)
-                acc = tuple(x for comp in s for x in comp)
-            else:
-                s = fd.add((acc[0], acc[1]), (out[0], out[1]))
-                acc = (s[0], s[1])
+                return tuple((flat[2 * k], flat[2 * k + 1]) for k in range(3))
+            return (flat[0], flat[1])
 
-    flat = [a.reshape(n) for a in acc]
-    if fq_is_ext:
-        return tuple((flat[2 * k], flat[2 * k + 1]) for k in range(3))
-    return (flat[0], flat[1])
+        _DRIVER_CACHE[air_key] = jax.jit(driver)
+
+    return _DRIVER_CACHE[air_key](
+        x_lde, base_cols, ext_cols or [], inv_by_key, s_lo, s_hi)

@@ -55,6 +55,9 @@ def affine_scan_ext3(a: fd.Ext3, b: fd.Ext3, init: fd.Ext3,
         B_prev = _shift_right_ext3(B, k, fill=(0, 0, 0))
         B = fd.ext3_add(fd.ext3_mul(A, B_prev), B)
         A = fd.ext3_mul(A, A_prev)
+        # barrier per level: without it XLA fuses the doubling chain into its
+        # consumers and recomputes it per element (see fields/device.py)
+        A, B = jax.lax.optimization_barrier((A, B))
         k *= 2
 
     init_b = tuple(

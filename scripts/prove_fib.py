@@ -10,8 +10,11 @@ Pass 24 for the full reference size; smaller powers for smoke runs.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -34,10 +37,13 @@ def main():
                         fri_max_remainder_coeffs=64)
     claim = FibClaim(trace.last_value())
 
-    t0 = time.perf_counter()
-    proof = claim.prove(opts, trace)
-    dt = time.perf_counter() - t0
-    print(f"PROVE total: {dt:.1f}s", flush=True)
+    repeat = 2 if "--repeat" in sys.argv else 1
+    for i in range(repeat):
+        t0 = time.perf_counter()
+        proof = claim.prove(opts, trace)
+        dt = time.perf_counter() - t0
+        label = "PROVE total" if i == 0 else "PROVE warm"
+        print(f"{label}: {dt:.1f}s", flush=True)
 
     from ministark_tpu import serde
     w = serde.Writer()

@@ -7,9 +7,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's elementwise fusion recomputes shared subexpressions per output
+# element, which is EXPONENTIAL in depth for our diamond-heavy field-op DAGs
+# (Karatsuba ext3 muls, scan levels): a 3-term DEEP kernel executed in 27 s
+# fused vs 0.06 s unfused.  The TPU compiler (Mosaic/XLA:TPU) is unaffected;
+# tests simply turn instruction fusion off.
+if "xla_disable_hlo_passes" not in flags:
+    flags = (flags + " --xla_disable_hlo_passes=fusion,cpu-fusion").strip()
+os.environ["XLA_FLAGS"] = flags
 
 # XLA:CPU compiles large unrolled uint32 graphs (field-mul chains)
 # superlinearly; the persistent cache makes that a one-time cost across
