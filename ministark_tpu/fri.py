@@ -31,7 +31,8 @@ from . import merkle
 from .fields import device as fd
 from .fields.scalar import Fp, Fq3, P, get_root_of_unity
 from .merkle import MerkleView
-from .ntt import Domain, bit_reverse_ext3, bit_reverse_fp, bit_reverse_index
+from .ntt import (Domain, bit_reverse_ext3, bit_reverse_fp, bit_reverse_index,
+                  bit_reverse_indices)
 from .composer import fq3_to_device_scalar, scalar_to_ext3
 
 
@@ -140,10 +141,61 @@ class FriProver:
         if not self.fq_is_ext:
             evals = evals[0]  # Fp2; c1/c2 are structurally zero
         N = self.options.folding_factor
+        if merkle._lanes_mode() is not None:
+            return self._build_layers_fused(channel, evals, n, N)
         for _ in range(self.options.num_layers(n)):
             evals = self._build_layer(channel, evals, n, N)
             n //= N
         self._set_remainder(channel, evals, n)
+
+    def _build_layers_fused(self, channel, evals, n: int, N: int):
+        """One device dispatch + one 32-byte root readback per layer (the
+        Fiat-Shamir minimum): layer i's program folds with alpha_{i-1}, then
+        bit-reverses, row-hashes and builds EVERY Merkle level in one jit."""
+        interpret = merkle._lanes_mode() == "interpret"
+        L = self.options.num_layers(n)
+        rows, levels = _fri_commit_program(
+            n, N, self.fq_is_ext, interpret)(evals, _perm_device(n))
+        self._append_layer(rows, levels)
+        channel.commit_fri_layer(self.layers[-1].tree.root())
+        for i in range(1, L + 1):
+            alpha = _alpha_device(channel.draw_fri_alpha(), self.fq_is_ext)
+            dom_n, dom_m = Domain(n), Domain(n // N)
+            args = (evals, alpha, dom_n._inv_tbl(), dom_n._inv_tmat(),
+                    dom_m._fwd_tbl(), dom_m._fwd_tmat())
+            if i < L:
+                evals, rows, levels = _fri_fold_commit_program(
+                    n, N, self.fq_is_ext, interpret)(
+                        *args, _perm_device(n // N))
+                self._append_layer(rows, levels)
+                channel.commit_fri_layer(self.layers[-1].tree.root())
+            else:
+                # the fold's output IS the remainder coefficient vector:
+                # the host path computes fft(folded) then ifft's it back
+                # (fold_evals_fp + _set_remainder), a device no-op here
+                coeffs = _fri_fold_ifft_program(n, N, self.fq_is_ext)(
+                    evals, alpha, dom_n._inv_tbl(), dom_n._inv_tmat())
+                self._finish_remainder(channel, coeffs, n // N)
+            n //= N
+
+    def _append_layer(self, rows, levels):
+        tree = merkle.CommittedMerkleTree(levels, device_lanes=True)
+        if self.fq_is_ext:
+            c0, c1, c2 = rows
+        else:
+            c0, c1, c2 = rows, None, None
+        self.layers.append(_Layer(tree, c0, c1, c2, self.fq_is_ext))
+
+    def _finish_remainder(self, channel, coeffs, n: int):
+        if self.fq_is_ext:
+            vals = _ext3_to_scalars(coeffs, True)
+        else:
+            vals = [Fp(int(v)) for v in fd.unpack_np(coeffs).ravel()]
+        max_coeffs = n // self.options.blowup_factor
+        remainder, zero_tail = vals[:max_coeffs], vals[max_coeffs:]
+        assert all(v.is_zero() for v in zero_tail), "remainder degree too high"
+        channel.commit_remainder(remainder)
+        self.remainder_coeffs = remainder
 
     def _commit_layer(self, evals, n: int, N: int):
         """Commit to bit-reversed evals chunked into rows of N."""
@@ -202,8 +254,102 @@ class FriProver:
         return FriProof(proof_layers, self.remainder_coeffs)
 
 
-@functools.partial(jax.jit, static_argnames=("N",))
-def _fold_core_ext3(coeffs: fd.Ext3, alpha: fd.Ext3, N: int) -> fd.Ext3:
+# ---------------------------------------------------------------------------
+# fused layer programs (TPU path): fold + bitrev + hash + full Merkle build
+# ---------------------------------------------------------------------------
+
+_PERM_CACHE: dict = {}
+_FRI_PROGRAMS: dict = {}
+
+
+def _perm_device(n: int):
+    if n not in _PERM_CACHE:
+        _PERM_CACHE[n] = jnp.asarray(bit_reverse_indices(n))
+    return _PERM_CACHE[n]
+
+
+def _alpha_device(alpha, fq_is_ext: bool):
+    if fq_is_ext:
+        return fq3_to_device_scalar(scalar_to_ext3(alpha))
+    return (jnp.asarray(alpha.v & 0xFFFFFFFF, fd.U32),
+            jnp.asarray(alpha.v >> 32, fd.U32))
+
+
+def _commit_rows_traced(evals, n: int, N: int, fq_is_ext: bool, perm,
+                        interpret: bool):
+    """Traced body: bit-reverse, chunk into rows of N, row-hash, all levels."""
+    from .ops import sha256_pallas as spl
+
+    if fq_is_ext:
+        rows = tuple(
+            (jnp.take(c[0], perm).reshape(n // N, N),
+             jnp.take(c[1], perm).reshape(n // N, N))
+            for c in evals)
+        lanes = spl.hash_rows_ext3_lanes(
+            *[(jnp.transpose(c[0]), jnp.transpose(c[1])) for c in rows],
+            interpret=interpret)
+    else:
+        rows = (jnp.take(evals[0], perm).reshape(n // N, N),
+                jnp.take(evals[1], perm).reshape(n // N, N))
+        lanes = spl.hash_rows_fp_lanes(
+            jnp.transpose(rows[0]), jnp.transpose(rows[1]),
+            interpret=interpret)
+    return rows, merkle.tree_levels_lanes(lanes, interpret)
+
+
+def _fri_commit_program(n: int, N: int, fq_is_ext: bool, interpret: bool):
+    key = ("commit", n, N, fq_is_ext, interpret)
+    if key not in _FRI_PROGRAMS:
+        def prog(evals, perm):
+            return _commit_rows_traced(evals, n, N, fq_is_ext, perm, interpret)
+        _FRI_PROGRAMS[key] = jax.jit(prog)
+    return _FRI_PROGRAMS[key]
+
+
+def _fri_fold_commit_program(n: int, N: int, fq_is_ext: bool, interpret: bool):
+    key = ("foldcommit", n, N, fq_is_ext, interpret)
+    if key not in _FRI_PROGRAMS:
+        dom_n, dom_m = Domain(n), Domain(n // N)
+        placeholder = fd.ones((1,))
+
+        def prog(evals, alpha, itbl, itmat, ftbl, ftmat, perm):
+            if fq_is_ext:
+                coeffs = dom_n._ifft_ext3_impl(evals, itbl, placeholder, itmat)
+                folded = _fold_body_ext3(coeffs, alpha, N)
+                out = dom_m._fft_ext3_impl(folded, ftbl, placeholder, ftmat)
+            else:
+                coeffs = dom_n._ifft_fp_impl(evals, itbl, placeholder, itmat)
+                folded = _fold_body_fp(coeffs, alpha, N)
+                out = dom_m._fft_fp_impl(folded, ftbl, placeholder, ftmat)
+            rows, levels = _commit_rows_traced(
+                out, n // N, N, fq_is_ext, perm, interpret)
+            return out, rows, levels
+
+        _FRI_PROGRAMS[key] = jax.jit(prog)
+    return _FRI_PROGRAMS[key]
+
+
+def _fri_fold_ifft_program(n: int, N: int, fq_is_ext: bool):
+    """Final fold: iNTT at n then alpha-fold — the folded chunk vector IS
+    the remainder coefficient vector (the host path's fft+ifft pair around
+    it cancels)."""
+    key = ("foldifft", n, N, fq_is_ext)
+    if key not in _FRI_PROGRAMS:
+        dom_n = Domain(n)
+        placeholder = fd.ones((1,))
+
+        def prog(evals, alpha, itbl, itmat):
+            if fq_is_ext:
+                coeffs = dom_n._ifft_ext3_impl(evals, itbl, placeholder, itmat)
+                return _fold_body_ext3(coeffs, alpha, N)
+            coeffs = dom_n._ifft_fp_impl(evals, itbl, placeholder, itmat)
+            return _fold_body_fp(coeffs, alpha, N)
+
+        _FRI_PROGRAMS[key] = jax.jit(prog)
+    return _FRI_PROGRAMS[key]
+
+
+def _fold_body_ext3(coeffs: fd.Ext3, alpha: fd.Ext3, N: int) -> fd.Ext3:
     """out[i] = N * sum_j coeffs[i*N+j] * alpha^j  (alpha is a traced scalar
     so a new transcript never recompiles)."""
     n = coeffs[0][0].shape[0]
@@ -218,8 +364,7 @@ def _fold_core_ext3(coeffs: fd.Ext3, alpha: fd.Ext3, N: int) -> fd.Ext3:
     return fd.ext3_mul_base(acc, fd.full((), N))
 
 
-@functools.partial(jax.jit, static_argnames=("N",))
-def _fold_core_fp(coeffs: fd.Fp2, alpha: fd.Fp2, N: int) -> fd.Fp2:
+def _fold_body_fp(coeffs: fd.Fp2, alpha: fd.Fp2, N: int) -> fd.Fp2:
     n = coeffs[0].shape[0]
     lo = coeffs[0].reshape(n // N, N)
     hi = coeffs[1].reshape(n // N, N)
@@ -230,6 +375,10 @@ def _fold_core_fp(coeffs: fd.Fp2, alpha: fd.Fp2, N: int) -> fd.Fp2:
         if j != N - 1:
             apow = fd.mul(apow, alpha)
     return fd.mul_const(acc, N)
+
+
+_fold_core_ext3 = jax.jit(_fold_body_ext3, static_argnames=("N",))
+_fold_core_fp = jax.jit(_fold_body_fp, static_argnames=("N",))
 
 
 def fold_evals(evals: fd.Ext3, n: int, N: int, alpha) -> fd.Ext3:

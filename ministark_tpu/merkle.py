@@ -13,8 +13,10 @@ equivalent — levels ARE the parallel axis.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,12 +48,20 @@ class MerkleView:
 # device-side build
 # ---------------------------------------------------------------------------
 
+def _lanes_mode():
+    """'run' (TPU Pallas), 'interpret' (CPU test override via
+    MINISTARK_TPU_LANES=interpret), or None (host/XLA path)."""
+    if jax.default_backend() != "cpu":
+        return "run"
+    if os.environ.get("MINISTARK_TPU_LANES") == "interpret":
+        return "interpret"
+    return None
+
+
 def _lanes_backend() -> bool:
     """Use the Pallas lane-major SHA kernel off-CPU (XLA:TPU runs each u32 op
     as a separate HBM pass; the kernel keeps the compression in VMEM)."""
-    import jax
-
-    return jax.default_backend() != "cpu"
+    return _lanes_mode() is not None
 
 
 def hash_rows_fp(cols_lo, cols_hi):
@@ -60,10 +70,12 @@ def hash_rows_fp(cols_lo, cols_hi):
     Returns (n, 8) digest words on device. Row digest = SHA-256 of the
     concatenated 8-byte LE values in column order (= hash_elements of the row,
     src/hash.rs:92-100)."""
-    if _lanes_backend():
+    mode = _lanes_mode()
+    if mode is not None:
         from .ops import sha256_pallas as spl
 
-        return jnp.transpose(spl.hash_rows_fp_lanes(cols_lo, cols_hi))
+        return jnp.transpose(spl.hash_rows_fp_lanes(
+            cols_lo, cols_hi, interpret=mode == "interpret"))
     row_lo = jnp.transpose(cols_lo)  # (n, ncols)
     row_hi = jnp.transpose(cols_hi)
     words = dsha.fp_rows_to_words(row_lo, row_hi)
@@ -74,10 +86,12 @@ def hash_rows_ext3(c0, c1, c2):
     """Row-hash an Fq3 matrix; each arg is ((ncols,n) lo, (ncols,n) hi).
 
     Serialization order per element: c0 || c1 || c2, each 8 bytes LE."""
-    if _lanes_backend():
+    mode = _lanes_mode()
+    if mode is not None:
         from .ops import sha256_pallas as spl
 
-        return jnp.transpose(spl.hash_rows_ext3_lanes(c0, c1, c2))
+        return jnp.transpose(spl.hash_rows_ext3_lanes(
+            c0, c1, c2, interpret=mode == "interpret"))
     parts = []
     for comp in (c0, c1, c2):
         lo = jnp.transpose(comp[0])
@@ -102,20 +116,12 @@ def build_tree_levels(leaf_digest_words) -> list[np.ndarray]:
     return [np.asarray(l, dtype=np.uint32) for l in levels]
 
 
-def build_tree_levels_device(leaf_digest_words) -> list:
+def build_tree_levels_device(leaf_digest_words, interpret: bool = False) -> list:
     """Device-resident tree build via the lane-major Pallas kernel: the
     levels STAY on device ((8, m) lane-major); only root + queried paths
     ever cross to the host (a 2^23-leaf tree is ~0.5 GB of digests — pulling
     it through the TPU tunnel would dwarf the hash work)."""
-    from .ops import sha256_pallas as spl
-
-    lanes = jnp.transpose(leaf_digest_words)  # (8, n)
-    levels = [lanes]
-    cur = lanes
-    while cur.shape[1] > 1:
-        cur = spl.merge_lanes(cur[:, 0::2], cur[:, 1::2])
-        levels.append(cur)
-    return levels
+    return tree_levels_lanes(jnp.transpose(leaf_digest_words), interpret)
 
 
 class CommittedMerkleTree:
@@ -136,9 +142,11 @@ class CommittedMerkleTree:
 
     @staticmethod
     def from_leaf_words(leaf_digest_words) -> "CommittedMerkleTree":
-        if _lanes_backend():
+        mode = _lanes_mode()
+        if mode is not None:
             return CommittedMerkleTree(
-                build_tree_levels_device(leaf_digest_words),
+                build_tree_levels_device(leaf_digest_words,
+                                         interpret=mode == "interpret"),
                 device_lanes=True)
         return CommittedMerkleTree(build_tree_levels(leaf_digest_words))
 
@@ -329,10 +337,62 @@ def verify_rows(root: bytes, row_ids: list[int], rows: list, proof: MerkleView,
 # matrix commitment helper (bit-reversed row order)
 # ---------------------------------------------------------------------------
 
+_COMMIT_PROGRAMS: dict = {}
+
+
+def tree_levels_lanes(lanes, interpret: bool = False) -> list:
+    """All tree levels from (8, n) lane-major digest words; jit-traceable."""
+    from .ops import sha256_pallas as spl
+
+    levels = [lanes]
+    cur = lanes
+    while cur.shape[1] > 1:
+        cur = spl.merge_lanes(cur[:, 0::2], cur[:, 1::2], interpret=interpret)
+        levels.append(cur)
+    return levels
+
+
+def _commit_program(kind: str, shape, bit_reversed_input: bool,
+                    interpret: bool):
+    """ONE cached jitted program per (matrix kind, shape): row hashing, the
+    bit-reverse leaf permutation, and every tree level — a single device
+    dispatch instead of ~log2(n)+2 (the eager level-by-level build cost one
+    relay round-trip per level)."""
+    key = (kind, tuple(shape), bit_reversed_input, interpret)
+    if key not in _COMMIT_PROGRAMS:
+        from .ops import sha256_pallas as spl
+
+        n = shape[1]
+        perm = (None if bit_reversed_input
+                else jnp.asarray(bit_reverse_indices(n)))
+
+        if kind == "fp":
+            def prog(lo, hi):
+                lanes = spl.hash_rows_fp_lanes(lo, hi, interpret=interpret)
+                if perm is not None:
+                    lanes = lanes[:, perm]
+                return tree_levels_lanes(lanes, interpret)
+        else:
+            def prog(c0, c1, c2):
+                lanes = spl.hash_rows_ext3_lanes(c0, c1, c2,
+                                                 interpret=interpret)
+                if perm is not None:
+                    lanes = lanes[:, perm]
+                return tree_levels_lanes(lanes, interpret)
+
+        _COMMIT_PROGRAMS[key] = jax.jit(prog)
+    return _COMMIT_PROGRAMS[key]
+
+
 def commit_matrix_fp(cols_lo, cols_hi, bit_reversed_input: bool = False) -> CommittedMerkleTree:
     """Commit to an Fp matrix whose columns are given in NATURAL domain order
     (ncols, n); leaves follow the protocol's bit-reversed row order by
     permuting the row digests."""
+    mode = _lanes_mode()
+    if mode is not None:
+        prog = _commit_program("fp", cols_lo.shape, bit_reversed_input,
+                               mode == "interpret")
+        return CommittedMerkleTree(prog(cols_lo, cols_hi), device_lanes=True)
     digests = hash_rows_fp(cols_lo, cols_hi)
     if not bit_reversed_input:
         perm = jnp.asarray(bit_reverse_indices(digests.shape[0]))
@@ -341,6 +401,11 @@ def commit_matrix_fp(cols_lo, cols_hi, bit_reversed_input: bool = False) -> Comm
 
 
 def commit_matrix_ext3(c0, c1, c2, bit_reversed_input: bool = False) -> CommittedMerkleTree:
+    mode = _lanes_mode()
+    if mode is not None:
+        prog = _commit_program("ext3", c0[0].shape, bit_reversed_input,
+                               mode == "interpret")
+        return CommittedMerkleTree(prog(c0, c1, c2), device_lanes=True)
     digests = hash_rows_ext3(c0, c1, c2)
     if not bit_reversed_input:
         perm = jnp.asarray(bit_reverse_indices(digests.shape[0]))

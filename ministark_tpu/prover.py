@@ -140,7 +140,8 @@ def default_prove(stark, options: ProofOptions, witness, validate: bool = False)
         channel.grind_fri_commitments(grinder=dpow.grind)
 
     query_positions = channel.get_fri_query_positions()
-    fri_proof = fri_prover.into_proof(query_positions)
+    with Timer("FRI decommit"):
+        fri_proof = fri_prover.into_proof(query_positions)
 
     with Timer("Queries"):
         queries = build_queries(

@@ -1,0 +1,122 @@
+"""Fused FRI layer programs (fold+hash+Merkle in one jit, TPU path run here
+in Pallas interpret mode) vs the eager host-path prover.
+
+Oracle pattern follows the reference's GPU-vs-CPU tests
+(src/eval_gpu.rs:901-1091): identical transcripts must produce identical
+layer commitments, rows, Merkle proofs and remainders.
+"""
+
+import numpy as np
+import pytest
+
+from ministark_tpu import merkle
+from ministark_tpu.fields import device as fd
+from ministark_tpu.fields.scalar import Fp, Fq3, P
+from ministark_tpu.fri import FriOptions, FriProver
+
+
+class _StubChannel:
+    """Deterministic Fiat-Shamir stand-in: fixed alpha sequence."""
+
+    def __init__(self, alphas):
+        self.alphas = list(alphas)
+        self.i = 0
+        self.roots = []
+        self.remainder = None
+
+    def commit_fri_layer(self, root: bytes):
+        self.roots.append(root)
+
+    def draw_fri_alpha(self):
+        a = self.alphas[self.i % len(self.alphas)]
+        self.i += 1
+        return a
+
+    def commit_remainder(self, remainder_coeffs):
+        self.remainder = list(remainder_coeffs)
+
+
+def _rand_codeword_fp(rng, n, blowup):
+    """Evaluations (natural order) of a random degree < n/blowup poly."""
+    import jax.numpy as jnp
+
+    from ministark_tpu.ntt import Domain
+
+    coeffs = np.zeros(n, dtype=np.uint64)
+    coeffs[: n // blowup] = rng.integers(0, P, (n // blowup,), dtype=np.uint64)
+    lo, hi = fd.pack_np(coeffs)
+    return Domain(n).fft_fp((jnp.asarray(lo), jnp.asarray(hi)))
+
+
+def _proof_bytes(proof, fq):
+    from ministark_tpu import serde
+
+    w = serde.Writer()
+    proof.serialize(w, fq)
+    return w.bytes()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("fq_is_ext", [False, True])
+def test_fused_layers_match_host(monkeypatch, fq_is_ext):
+    rng = np.random.default_rng(5)
+    n, N = 1 << 10, 4
+    opts = FriOptions(folding_factor=N, max_remainder_coeffs=16,
+                      blowup_factor=4)
+    if fq_is_ext:
+        evals = tuple(_rand_codeword_fp(rng, n, opts.blowup_factor)
+                      for _ in range(3))
+        alphas = [Fq3(3, 5, 7), Fq3(11, 13, 17)]
+        fq = Fq3
+    else:
+        import jax.numpy as jnp
+
+        z = (jnp.zeros((n,), jnp.uint32), jnp.zeros((n,), jnp.uint32))
+        evals = (_rand_codeword_fp(rng, n, opts.blowup_factor), z, z)
+        alphas = [Fp(12345), Fp(67890)]
+        fq = Fp
+
+    # host path (CPU default)
+    ch1 = _StubChannel(alphas)
+    p1 = FriProver(opts, fq_is_ext)
+    p1.build_layers(ch1, evals)
+    positions = sorted({int(v) for v in rng.integers(0, n, 9)})
+    proof1 = p1.into_proof(positions)
+
+    # fused path (lanes pipeline in interpret mode)
+    monkeypatch.setenv("MINISTARK_TPU_LANES", "interpret")
+    ch2 = _StubChannel(alphas)
+    p2 = FriProver(opts, fq_is_ext)
+    p2.build_layers(ch2, evals)
+    proof2 = p2.into_proof(positions)
+
+    assert ch1.roots == ch2.roots
+    assert ch1.remainder == ch2.remainder
+    assert _proof_bytes(proof1, fq) == _proof_bytes(proof2, fq)
+
+
+def test_fused_commit_matches_host(monkeypatch):
+    rng = np.random.default_rng(6)
+    import jax.numpy as jnp
+
+    n, ncols = 1 << 10, 4
+    lo, hi = fd.pack_np(rng.integers(0, P, (ncols, n), dtype=np.uint64))
+    lo, hi = jnp.asarray(lo), jnp.asarray(hi)
+
+    t1 = merkle.commit_matrix_fp(lo, hi)
+    monkeypatch.setenv("MINISTARK_TPU_LANES", "interpret")
+    t2 = merkle.commit_matrix_fp(lo, hi)
+    assert t1.root() == t2.root()
+    idx = [0, 3, 5, 1000]
+    assert t1.prove(idx).nodes == t2.prove(idx).nodes
+
+    c0 = (lo, hi)
+    c1 = tuple(jnp.asarray(a) for a in
+               fd.pack_np(rng.integers(0, P, (ncols, n), dtype=np.uint64)))
+    c2 = tuple(jnp.asarray(a) for a in
+               fd.pack_np(rng.integers(0, P, (ncols, n), dtype=np.uint64)))
+    monkeypatch.delenv("MINISTARK_TPU_LANES")
+    t3 = merkle.commit_matrix_ext3(c0, c1, c2)
+    monkeypatch.setenv("MINISTARK_TPU_LANES", "interpret")
+    t4 = merkle.commit_matrix_ext3(c0, c1, c2)
+    assert t3.root() == t4.root()
