@@ -107,12 +107,17 @@ class _Layer:
         self.fq_is_ext = fq_is_ext
 
     def rows_bulk(self, positions: list[int]) -> list[list]:
-        idx = jnp.asarray(positions)
-        comps = []
-        for comp in self.c if self.fq_is_ext else self.c[:1]:
-            lo = np.asarray(comp[0][idx], dtype=np.uint64)
-            hi = np.asarray(comp[1][idx], dtype=np.uint64)
-            comps.append(lo | (hi << np.uint64(32)))
+        """One jitted gather + ONE host transfer for all queried rows."""
+        idx = jnp.asarray(np.asarray(positions, np.int32))
+        arrays = [p for comp in (self.c if self.fq_is_ext else self.c[:1])
+                  for p in comp]
+        key = (len(arrays), tuple(arrays[0].shape), len(positions))
+        if key not in _ROWS_PROGRAMS:
+            _ROWS_PROGRAMS[key] = jax.jit(
+                lambda arrs, ix: jnp.stack([a[ix] for a in arrs]))
+        block = np.asarray(_ROWS_PROGRAMS[key](arrays, idx), dtype=np.uint64)
+        comps = [block[2 * k] | (block[2 * k + 1] << np.uint64(32))
+                 for k in range(len(arrays) // 2)]
         nrows, N = comps[0].shape
         if self.fq_is_ext:
             return [[Fq3(int(comps[0][r, j]), int(comps[1][r, j]), int(comps[2][r, j]))
@@ -243,6 +248,8 @@ class FriProver:
 
     def into_proof(self, positions: list[int]) -> FriProof:
         N = self.options.folding_factor
+        if self.layers and self.layers[0].tree.device_lanes:
+            return self._into_proof_bundled(positions, N)
         proof_layers = []
         pos = list(positions)
         for layer in self.layers:
@@ -253,6 +260,44 @@ class FriProver:
             proof_layers.append(LayerProof(flattened, mproof, layer.tree.root()))
         return FriProof(proof_layers, self.remainder_coeffs)
 
+    def _into_proof_bundled(self, positions: list[int], N: int) -> FriProof:
+        """Every layer's queried rows AND Merkle nodes in ONE device
+        round-trip (merkle.fetch_bundle)."""
+        pos = list(positions)
+        metas, specs_all = [], []
+        for layer in self.layers:
+            pos = fold_positions(pos, N)
+            row_arrays = [p for comp in
+                          (layer.c if self.fq_is_ext else layer.c[:1])
+                          for p in comp]
+            specs_all.append((row_arrays, pos, 0))
+            meta, specs = layer.tree.fetch_plan(pos)
+            metas.append((meta, len(specs)))
+            specs_all.extend(specs)
+        blocks = merkle.fetch_bundle(specs_all)
+
+        proof_layers = []
+        bi = 0
+        for layer, (meta, nspecs) in zip(self.layers, metas):
+            b = blocks[bi].astype(np.uint64)
+            bi += 1
+            comps = [b[2 * k] | (b[2 * k + 1] << np.uint64(32))
+                     for k in range(b.shape[0] // 2)]
+            nrows, width = comps[0].shape
+            if self.fq_is_ext:
+                flattened = [
+                    Fq3(int(comps[0][r, j]), int(comps[1][r, j]),
+                        int(comps[2][r, j]))
+                    for r in range(nrows) for j in range(width)]
+            else:
+                flattened = [Fp(int(comps[0][r, j]))
+                             for r in range(nrows) for j in range(width)]
+            mview = layer.tree.view_from(meta, blocks[bi:bi + nspecs])
+            bi += nspecs
+            proof_layers.append(
+                LayerProof(flattened, mview, layer.tree.root()))
+        return FriProof(proof_layers, self.remainder_coeffs)
+
 
 # ---------------------------------------------------------------------------
 # fused layer programs (TPU path): fold + bitrev + hash + full Merkle build
@@ -260,6 +305,7 @@ class FriProver:
 
 _PERM_CACHE: dict = {}
 _FRI_PROGRAMS: dict = {}
+_ROWS_PROGRAMS: dict = {}
 
 
 def _perm_device(n: int):

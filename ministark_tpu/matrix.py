@@ -18,9 +18,23 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from .fields import device as fd
 from .fields.scalar import Fp, Fq3
 from .ntt import Domain, bit_reverse_index
+
+_GATHER_PROGRAMS: dict = {}
+
+
+def _gather_cols(arrays, idx):
+    """Stack column-gathers of (ncols, n) arrays into one jitted program:
+    ONE dispatch + ONE transfer instead of one per limb plane."""
+    key = (len(arrays), tuple(arrays[0].shape), int(idx.shape[0]))
+    if key not in _GATHER_PROGRAMS:
+        _GATHER_PROGRAMS[key] = jax.jit(
+            lambda arrs, ix: jnp.stack([a[:, ix] for a in arrs]))
+    return np.asarray(_GATHER_PROGRAMS[key](arrays, idx), dtype=np.uint64)
 
 
 class Matrix:
@@ -91,10 +105,10 @@ class Matrix:
     def get_bit_reversed_rows(self, positions: list[int]) -> list[list[Fp]]:
         """Bulk variant: ONE device gather + transfer for all query rows."""
         n = self.num_rows
-        idx = jnp.asarray([bit_reverse_index(n, p) for p in positions])
-        lo = np.asarray(self.lo[:, idx], dtype=np.uint64)
-        hi = np.asarray(self.hi[:, idx], dtype=np.uint64)
-        vals = lo | (hi << np.uint64(32))
+        idx = jnp.asarray(
+            np.asarray([bit_reverse_index(n, p) for p in positions], np.int32))
+        block = _gather_cols([self.lo, self.hi], idx)
+        vals = block[0] | (block[1] << np.uint64(32))
         return [[Fp(int(vals[c, i])) for c in range(self.num_cols)]
                 for i in range(len(positions))]
 
@@ -164,12 +178,11 @@ class MatrixExt3:
 
     def get_bit_reversed_rows(self, positions: list[int]) -> list[list[Fq3]]:
         n = self.num_rows
-        idx = jnp.asarray([bit_reverse_index(n, p) for p in positions])
-        comps = []
-        for k in range(3):
-            lo = np.asarray(self.c[k][0][:, idx], dtype=np.uint64)
-            hi = np.asarray(self.c[k][1][:, idx], dtype=np.uint64)
-            comps.append(lo | (hi << np.uint64(32)))
+        idx = jnp.asarray(
+            np.asarray([bit_reverse_index(n, p) for p in positions], np.int32))
+        block = _gather_cols([p for comp in self.c for p in comp], idx)
+        comps = [block[2 * k] | (block[2 * k + 1] << np.uint64(32))
+                 for k in range(3)]
         return [
             [Fq3(int(comps[0][c, i]), int(comps[1][c, i]), int(comps[2][c, i]))
              for c in range(self.num_cols)]

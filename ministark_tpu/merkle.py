@@ -124,6 +124,47 @@ def build_tree_levels_device(leaf_digest_words, interpret: bool = False) -> list
     return tree_levels_lanes(jnp.transpose(leaf_digest_words), interpret)
 
 
+_GATHER_PROGRAMS: dict = {}
+_BUNDLE_PROGRAMS: dict = {}
+
+
+def fetch_bundle(specs: list) -> list[np.ndarray]:
+    """Fetch many gathers with ONE jitted program and ONE device transfer.
+
+    specs: list of (arrays, idx, axis) — arrays share a shape within a spec;
+    idx is a 1-D numpy int array; the gather runs along `axis`.  Returns, per
+    spec, a numpy block of shape (len(arrays), *gathered shape).  On the
+    remote-TPU relay every eager gather+readback costs a round-trip; a whole
+    proof decommit (trace trees + every FRI layer) is ONE here."""
+    key = tuple((len(arrs), tuple(arrs[0].shape), len(idx), axis)
+                for (arrs, idx, axis) in specs)
+    if key not in _BUNDLE_PROGRAMS:
+        axes = [axis for (_a, _i, axis) in specs]
+
+        def prog(arr_lists, idx_arrays):
+            parts = []
+            for arrs, ix, axis in zip(arr_lists, idx_arrays, axes):
+                g = jnp.stack([jnp.take(a, ix, axis=axis) for a in arrs])
+                parts.append(g.reshape(-1))
+            return jnp.concatenate(parts)
+
+        _BUNDLE_PROGRAMS[key] = jax.jit(prog)
+
+    packed = np.asarray(_BUNDLE_PROGRAMS[key](
+        [list(arrs) for (arrs, _i, _x) in specs],
+        [jnp.asarray(np.asarray(idx, np.int32)) for (_a, idx, _x) in specs]),
+        dtype=np.uint32)
+    out = []
+    off = 0
+    for (arrs, idx, axis) in specs:
+        shape = list(arrs[0].shape)
+        shape[axis] = len(idx)
+        size = len(arrs) * int(np.prod(shape))
+        out.append(packed[off:off + size].reshape(len(arrs), *shape))
+        off += size
+    return out
+
+
 class CommittedMerkleTree:
     """A built tree; levels either host numpy (n,8) row-major or device
     lane-major (8, n) fetched lazily in bulk at decommit time.
@@ -156,17 +197,41 @@ class CommittedMerkleTree:
 
     def _fetch(self, level: int, indices: list[int]) -> dict[int, bytes]:
         """Bulk digest fetch from one level: {index: 32-byte digest}."""
-        if not indices:
+        got = self._fetch_many({level: indices})
+        return {i: d for (_lvl, i), d in got.items()}
+
+    def _fetch_many(self, wants: dict) -> dict:
+        """{level: indices} -> {(level, index): digest bytes}.
+
+        Lanes path: ONE jitted multi-level gather + ONE host transfer for the
+        whole request (a per-level eager fetch costs a relay round-trip per
+        tree level — ~20 per decommitted tree)."""
+        wants = {lvl: sorted(set(ix)) for lvl, ix in wants.items() if ix}
+        if not wants:
             return {}
-        if self.device_lanes:
-            idx = jnp.asarray(sorted(indices))
-            block = np.asarray(self.levels[level][:, idx],
-                               dtype=np.uint32)  # (8, k)
-            return {
-                i: b"".join(int(w).to_bytes(4, "big") for w in block[:, j])
-                for j, i in enumerate(sorted(indices))
-            }
-        return {i: _digest_at(self.levels[level], i) for i in indices}
+        if not self.device_lanes:
+            return {(lvl, i): _digest_at(self.levels[lvl], i)
+                    for lvl, ix in wants.items() for i in ix}
+        order = sorted(wants)
+        key = (len(self.levels), tuple((lvl, len(wants[lvl]))
+                                       for lvl in order))
+        if key not in _GATHER_PROGRAMS:
+            def prog(levels, idxs):
+                return jnp.concatenate(
+                    [lv[:, ix] for lv, ix in zip(levels, idxs)], axis=1)
+            _GATHER_PROGRAMS[key] = jax.jit(prog)
+        packed = _GATHER_PROGRAMS[key](
+            [self.levels[lvl] for lvl in order],
+            [jnp.asarray(np.asarray(wants[lvl], np.int32)) for lvl in order])
+        block = np.asarray(packed, dtype=np.uint32)  # (8, K)
+        out = {}
+        col = 0
+        for lvl in order:
+            for i in wants[lvl]:
+                out[(lvl, i)] = b"".join(
+                    int(w).to_bytes(4, "big") for w in block[:, col])
+                col += 1
+        return out
 
     def root(self) -> bytes:
         if self._root is None:
@@ -220,19 +285,47 @@ class CommittedMerkleTree:
         for i in indices:
             if i >= n:
                 raise IndexError(f"leaf index {i} out of bounds for {n} leaves")
+        meta, specs = self.fetch_plan(indices)
+        if specs is None:
+            return self.view_from(meta, None)
+        return self.view_from(meta, fetch_bundle(specs))
+
+    def fetch_plan(self, indices: list[int]):
+        """Plan a multi-proof decommit: returns (meta, specs) where specs
+        feed fetch_bundle (None on the host-numpy path) and
+        view_from(meta, blocks) builds the MerkleView — so callers can batch
+        MANY trees' decommits into one device round-trip."""
         idx = sorted(set(indices))
         initial, siblings, flat_nodes = self._plan(idx)
 
-        leaves = self._fetch(0, list(set(initial) | set(siblings)))
-        by_level: dict[int, set[int]] = {}
+        wants: dict[int, set[int]] = {0: set(initial) | set(siblings)}
         for flat in flat_nodes:
             if flat == 0:
                 continue
             depth = flat.bit_length() - 1
-            by_level.setdefault(self.height - depth, set()).add(
+            wants.setdefault(self.height - depth, set()).add(
                 flat - (1 << depth))
-        fetched = {lvl: self._fetch(lvl, sorted(ix))
-                   for lvl, ix in by_level.items()}
+        order = sorted(wants)
+        wants_sorted = {lvl: sorted(wants[lvl]) for lvl in order}
+        meta = (initial, siblings, flat_nodes, order, wants_sorted)
+        if not self.device_lanes:
+            return meta, None
+        specs = [([self.levels[lvl]], wants_sorted[lvl], 1) for lvl in order]
+        return meta, specs
+
+    def view_from(self, meta, blocks) -> MerkleView:
+        initial, siblings, flat_nodes, order, wants_sorted = meta
+        got = {}
+        if blocks is None:
+            for lvl, ix in wants_sorted.items():
+                for i in ix:
+                    got[(lvl, i)] = _digest_at(self.levels[lvl], i)
+        else:
+            for j, lvl in enumerate(order):
+                block = blocks[j][0]  # (8, k)
+                for c, i in enumerate(wants_sorted[lvl]):
+                    got[(lvl, i)] = b"".join(
+                        int(w).to_bytes(4, "big") for w in block[:, c])
 
         def node_bytes(flat: int) -> bytes:
             # flat == 0 only occurs for the degenerate 2-leaf tree, where the
@@ -240,12 +333,12 @@ class CommittedMerkleTree:
             if flat == 0:
                 return H.ZERO_DIGEST
             depth = flat.bit_length() - 1
-            return fetched[self.height - depth][flat - (1 << depth)]
+            return got[(self.height - depth, flat - (1 << depth))]
 
         return MerkleView(
             [node_bytes(f) for f in flat_nodes],
-            [leaves[i] for i in initial],
-            [leaves[i] for i in siblings],
+            [got[(0, i)] for i in initial],
+            [got[(0, i)] for i in siblings],
             self.height,
         )
 

@@ -15,6 +15,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import merkle
 from .air import Air, Challenges, ProofOptions
@@ -22,7 +23,7 @@ from .channel import ProverChannel
 from .composer import DeepPolyComposer
 from .eval import eval_composition
 from .fields import device as fd
-from .fields.scalar import Fq3
+from .fields.scalar import Fp, Fq3
 from .fri import FriOptions, FriProver
 from .matrix import Matrix, MatrixExt3
 from .ntt import bit_reverse_index
@@ -165,7 +166,13 @@ def default_prove(stark, options: ProofOptions, witness, validate: bool = False)
 def build_queries(air, base_lde, ext_lde, comp_lde, base_tree, ext_tree,
                   comp_tree, positions) -> Queries:
     """Decommit trace rows at bit-reversed query positions
-    (src/trace.rs:114-157)."""
+    (src/trace.rs:114-157).  On the lanes (TPU) path ALL three matrices'
+    rows and all three trees' Merkle nodes come back in ONE device
+    round-trip (merkle.fetch_bundle)."""
+    if base_tree.device_lanes:
+        return _build_queries_bundled(
+            air, base_lde, ext_lde, comp_lde, base_tree, ext_tree,
+            comp_tree, positions)
     base_rows = base_lde.get_bit_reversed_rows(positions)
     ext_rows = ext_lde.get_bit_reversed_rows(positions) if ext_lde is not None else None
     comp_rows = comp_lde.get_bit_reversed_rows(positions)
@@ -182,4 +189,74 @@ def build_queries(air, base_lde, ext_lde, comp_lde, base_tree, ext_tree,
         base_trace_proof=base_tree.prove(positions),
         extension_trace_proof=ext_tree.prove(positions) if ext_tree else None,
         composition_trace_proof=comp_tree.prove(positions),
+    )
+
+
+def _matrix_planes(m):
+    """Limb planes of a Matrix/MatrixExt3 plus a scalar builder."""
+    if isinstance(m, MatrixExt3):
+        planes = [p for comp in m.c for p in comp]
+
+        def build(comps, c, i):
+            return Fq3(int(comps[0][c, i]), int(comps[1][c, i]),
+                       int(comps[2][c, i]))
+    else:
+        planes = [m.lo, m.hi]
+
+        def build(comps, c, i):
+            return Fp(int(comps[0][c, i]))
+    return planes, build
+
+
+def _build_queries_bundled(air, base_lde, ext_lde, comp_lde, base_tree,
+                           ext_tree, comp_tree, positions) -> Queries:
+    from . import merkle as mk
+
+    n = base_lde.num_rows
+    ridx = [bit_reverse_index(n, p) for p in positions]
+
+    mats = [(base_lde, base_tree)]
+    if ext_lde is not None:
+        mats.append((ext_lde, ext_tree))
+    mats.append((comp_lde, comp_tree))
+
+    specs_all, metas, builders = [], [], []
+    for m, tree in mats:
+        planes, build = _matrix_planes(m)
+        specs_all.append((planes, ridx, 1))
+        meta, specs = tree.fetch_plan(positions)
+        metas.append((meta, len(specs)))
+        specs_all.extend(specs)
+        builders.append(build)
+
+    blocks = mk.fetch_bundle(specs_all)
+
+    values, views = [], []
+    bi = 0
+    for (m, tree), (meta, nspecs), build in zip(mats, metas, builders):
+        b = blocks[bi].astype(np.uint64)
+        bi += 1
+        comps = [b[2 * k] | (b[2 * k + 1] << np.uint64(32))
+                 for k in range(b.shape[0] // 2)]
+        ncols = comps[0].shape[0]
+        values.append([build(comps, c, i)
+                       for i in range(len(positions)) for c in range(ncols)])
+        views.append(tree.view_from(meta, blocks[bi:bi + nspecs]))
+        bi += nspecs
+
+    if ext_lde is not None:
+        base_values, ext_values, comp_values = values
+        base_view, ext_view, comp_view = views
+    else:
+        base_values, comp_values = values
+        base_view, comp_view = views
+        ext_values, ext_view = [], None
+
+    return Queries(
+        base_trace_values=base_values,
+        extension_trace_values=ext_values,
+        composition_trace_values=comp_values,
+        base_trace_proof=base_view,
+        extension_trace_proof=ext_view,
+        composition_trace_proof=comp_view,
     )

@@ -95,6 +95,28 @@ def test_fused_layers_match_host(monkeypatch, fq_is_ext):
     assert _proof_bytes(proof1, fq) == _proof_bytes(proof2, fq)
 
 
+@pytest.mark.slow
+def test_prove_lanes_interpret_matches(monkeypatch):
+    """Full fib prove through the lanes pipeline (fused commits, fused FRI
+    layers, bundled decommits) must produce byte-identical proofs to the
+    host path."""
+    from ministark_tpu.air import ProofOptions
+    from ministark_tpu.fields import Fp as FpTag
+    from ministark_tpu.models.fib import FibClaim, gen_trace
+    from ministark_tpu.proof import Proof
+
+    trace = gen_trace(128)
+    claim = FibClaim(trace.last_value())
+    opts = ProofOptions(num_queries=8, lde_blowup_factor=4,
+                        grinding_factor=0, fri_folding_factor=4,
+                        fri_max_remainder_coeffs=4)
+    p1 = claim.prove(opts, trace).to_bytes(FpTag)
+    monkeypatch.setenv("MINISTARK_TPU_LANES", "interpret")
+    p2 = claim.prove(opts, trace).to_bytes(FpTag)
+    assert p1 == p2
+    claim.verify(Proof.from_bytes(p2, FpTag, FpTag), 10)
+
+
 def test_fused_commit_matches_host(monkeypatch):
     rng = np.random.default_rng(6)
     import jax.numpy as jnp
