@@ -445,6 +445,26 @@ def tree_levels_lanes(lanes, interpret: bool = False) -> list:
     return levels
 
 
+def commit_matrix_fp_traced(lo, hi, perm, interpret: bool) -> list:
+    """Traced commit body (lanes path): row hash, leaf permutation, all tree
+    levels. Usable inside larger jitted programs."""
+    from .ops import sha256_pallas as spl
+
+    lanes = spl.hash_rows_fp_lanes(lo, hi, interpret=interpret)
+    if perm is not None:
+        lanes = lanes[:, perm]
+    return tree_levels_lanes(lanes, interpret)
+
+
+def commit_matrix_ext3_traced(c0, c1, c2, perm, interpret: bool) -> list:
+    from .ops import sha256_pallas as spl
+
+    lanes = spl.hash_rows_ext3_lanes(c0, c1, c2, interpret=interpret)
+    if perm is not None:
+        lanes = lanes[:, perm]
+    return tree_levels_lanes(lanes, interpret)
+
+
 def _commit_program(kind: str, shape, bit_reversed_input: bool,
                     interpret: bool):
     """ONE cached jitted program per (matrix kind, shape): row hashing, the
@@ -453,25 +473,16 @@ def _commit_program(kind: str, shape, bit_reversed_input: bool,
     relay round-trip per level)."""
     key = (kind, tuple(shape), bit_reversed_input, interpret)
     if key not in _COMMIT_PROGRAMS:
-        from .ops import sha256_pallas as spl
-
         n = shape[1]
         perm = (None if bit_reversed_input
                 else jnp.asarray(bit_reverse_indices(n)))
 
         if kind == "fp":
             def prog(lo, hi):
-                lanes = spl.hash_rows_fp_lanes(lo, hi, interpret=interpret)
-                if perm is not None:
-                    lanes = lanes[:, perm]
-                return tree_levels_lanes(lanes, interpret)
+                return commit_matrix_fp_traced(lo, hi, perm, interpret)
         else:
             def prog(c0, c1, c2):
-                lanes = spl.hash_rows_ext3_lanes(c0, c1, c2,
-                                                 interpret=interpret)
-                if perm is not None:
-                    lanes = lanes[:, perm]
-                return tree_levels_lanes(lanes, interpret)
+                return commit_matrix_ext3_traced(c0, c1, c2, perm, interpret)
 
         _COMMIT_PROGRAMS[key] = jax.jit(prog)
     return _COMMIT_PROGRAMS[key]

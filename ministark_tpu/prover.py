@@ -36,6 +36,43 @@ class ProvingError(Exception):
     pass
 
 
+_COMP_COMMIT_PROGRAMS: dict = {}
+
+
+def _comp_commit_program(trace_len: int, cb: int, ce_dom, lde_dom,
+                         fq_is_ext: bool, interpret: bool):
+    """Cached jitted program for the whole composition-commit phase:
+    CE-domain iNTT, split into cb interleaved columns, coset NTT to the LDE
+    domain, row hash, and every Merkle level — one device dispatch."""
+    from .ntt import bit_reverse_indices
+
+    key = (trace_len, cb, ce_dom.size, ce_dom.offset, lde_dom.size,
+           lde_dom.offset, fq_is_ext, interpret)
+    if key not in _COMP_COMMIT_PROGRAMS:
+        perm = jnp.asarray(bit_reverse_indices(lde_dom.size))
+
+        def prog(evals, itbl, iunscale, itmat, ftbl, fscale, ftmat):
+            if fq_is_ext:
+                coeffs = ce_dom._ifft_ext3_impl(evals, itbl, iunscale, itmat)
+                polys = tuple(
+                    (c[0].reshape(trace_len, cb).T,
+                     c[1].reshape(trace_len, cb).T) for c in coeffs)
+                lde = lde_dom._fft_ext3_impl(polys, ftbl, fscale, ftmat)
+                levels = merkle.commit_matrix_ext3_traced(
+                    lde[0], lde[1], lde[2], perm, interpret)
+            else:
+                coeffs = ce_dom._ifft_fp_impl(evals, itbl, iunscale, itmat)
+                polys = (coeffs[0].reshape(trace_len, cb).T,
+                         coeffs[1].reshape(trace_len, cb).T)
+                lde = lde_dom._fft_fp_impl(polys, ftbl, fscale, ftmat)
+                levels = merkle.commit_matrix_fp_traced(
+                    lde[0], lde[1], perm, interpret)
+            return lde, levels
+
+        _COMP_COMMIT_PROGRAMS[key] = jax.jit(prog)
+    return _COMP_COMMIT_PROGRAMS[key]
+
+
 def default_prove(stark, options: ProofOptions, witness, validate: bool = False) -> Proof:
     fq_is_ext = stark.fq is Fq3
 
@@ -99,7 +136,20 @@ def default_prove(stark, options: ProofOptions, witness, validate: bool = False)
 
     with Timer("Composition trace commitment"):
         cb = air.ce_blowup_factor
-        if fq_is_ext:
+        mode = merkle._lanes_mode()
+        if mode is not None:
+            # ONE program: iNTT + column split + coset NTT + hash + full tree
+            prog = _comp_commit_program(
+                air.trace_len, cb, ce_dom, lde_dom, fq_is_ext,
+                mode == "interpret")
+            lde_arrays, levels = prog(
+                comp_evals, ce_dom._inv_tbl(), ce_dom._unscale_tbl(),
+                ce_dom._inv_tmat(), lde_dom._fwd_tbl(), lde_dom._scale_tbl(),
+                lde_dom._fwd_tmat())
+            comp_lde = (MatrixExt3(*lde_arrays) if fq_is_ext
+                        else Matrix(*lde_arrays))
+            comp_tree = merkle.CommittedMerkleTree(levels, device_lanes=True)
+        elif fq_is_ext:
             coeffs = ce_dom.ifft_ext3(comp_evals)
             # split into cb interleaved columns: col_i[j] = coeffs[j*cb + i]
             comp_polys = MatrixExt3(*[

@@ -117,6 +117,47 @@ def test_prove_lanes_interpret_matches(monkeypatch):
     claim.verify(Proof.from_bytes(p2, FpTag, FpTag), 10)
 
 
+@pytest.mark.slow
+def test_comp_commit_program_ext_matches(monkeypatch):
+    """The fused composition-commit program (Fq3 path) must match the eager
+    ifft/split/evaluate/commit pipeline."""
+    import jax.numpy as jnp
+
+    from ministark_tpu.fields.scalar import GENERATOR
+    from ministark_tpu.matrix import MatrixExt3
+    from ministark_tpu.ntt import Domain
+    from ministark_tpu.prover import _comp_commit_program
+
+    rng = np.random.default_rng(9)
+    trace_len, cb, blowup = 256, 2, 4
+    ce_dom = Domain(trace_len * cb, GENERATOR)
+    lde_dom = Domain(trace_len * blowup, GENERATOR)
+
+    evals = tuple(
+        tuple(jnp.asarray(a) for a in
+              fd.pack_np(rng.integers(0, P, (trace_len * cb,),
+                                      dtype=np.uint64)))
+        for _ in range(3))
+
+    # eager reference
+    coeffs = ce_dom.ifft_ext3(evals)
+    polys = MatrixExt3(*[(c[0].reshape(trace_len, cb).T,
+                          c[1].reshape(trace_len, cb).T) for c in coeffs])
+    lde_ref = polys.evaluate(lde_dom)
+    e = lde_ref.as_ext3()
+    tree_ref = merkle.commit_matrix_ext3(e[0], e[1], e[2])
+
+    prog = _comp_commit_program(trace_len, cb, ce_dom, lde_dom, True, True)
+    lde_arrays, levels = prog(
+        evals, ce_dom._inv_tbl(), ce_dom._unscale_tbl(), ce_dom._inv_tmat(),
+        lde_dom._fwd_tbl(), lde_dom._scale_tbl(), lde_dom._fwd_tmat())
+    tree_new = merkle.CommittedMerkleTree(levels, device_lanes=True)
+
+    assert tree_ref.root() == tree_new.root()
+    for k in range(3):
+        assert fd.to_ints(e[k]) == fd.to_ints(lde_arrays[k])
+
+
 def test_fused_commit_matches_host(monkeypatch):
     rng = np.random.default_rng(6)
     import jax.numpy as jnp
