@@ -350,6 +350,11 @@ def eval_composition(
                 val = ev._materialize(ev.evaluate_raw(dnode, c))
                 if val.kind == "fq" and fq_is_ext:
                     out[k] = fd.ext3_batch_inv(val.v)
+                elif fq_is_ext:
+                    # invert in the base field (3x cheaper), then promote:
+                    # the fused-eval plan types every inverse input as Ext3
+                    # when fq is the extension (eval_pallas._rewrite_divs)
+                    out[k] = fd.ext3_from_base(fd.batch_inv(val.v))
                 else:
                     out[k] = fd.batch_inv(val.v)
             return out

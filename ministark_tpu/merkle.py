@@ -474,8 +474,10 @@ def _commit_program(kind: str, shape, bit_reversed_input: bool,
     key = (kind, tuple(shape), bit_reversed_input, interpret)
     if key not in _COMMIT_PROGRAMS:
         n = shape[1]
+        # numpy (not device) constant: embedding a device array into a jaxpr
+        # forces a device->host readback at lowering time
         perm = (None if bit_reversed_input
-                else jnp.asarray(bit_reverse_indices(n)))
+                else np.asarray(bit_reverse_indices(n)))
 
         if kind == "fp":
             def prog(lo, hi):

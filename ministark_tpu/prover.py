@@ -49,7 +49,7 @@ def _comp_commit_program(trace_len: int, cb: int, ce_dom, lde_dom,
     key = (trace_len, cb, ce_dom.size, ce_dom.offset, lde_dom.size,
            lde_dom.offset, fq_is_ext, interpret)
     if key not in _COMP_COMMIT_PROGRAMS:
-        perm = jnp.asarray(bit_reverse_indices(lde_dom.size))
+        perm = np.asarray(bit_reverse_indices(lde_dom.size))
 
         def prog(evals, itbl, iunscale, itmat, ftbl, fscale, ftmat):
             if fq_is_ext:
