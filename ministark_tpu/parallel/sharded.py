@@ -31,8 +31,9 @@ from ..ntt import Domain, bit_reverse_indices
 from ..ops import sha256 as dsha
 
 
-def make_mesh(n_devices: int | None = None, axis: str = "col") -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, axis: str = "col",
+              devices=None) -> Mesh:
+    devs = devices if devices is not None else jax.devices()
     n = n_devices or len(devs)
     return Mesh(np.array(devs[:n]), (axis,))
 
@@ -55,7 +56,10 @@ def sharded_lde_and_commit(mesh: Mesh, trace_dom: Domain, lde_dom: Domain):
     n = lde_dom.size
     assert n % naxis == 0
 
-    perm = jnp.asarray(bit_reverse_indices(n))
+    # numpy (not jnp): a device constant here would land on the ambient
+    # default device, which may not belong to `mesh` (e.g. CPU-mesh dryrun
+    # under a TPU-default environment)
+    perm = bit_reverse_indices(n)
 
     def per_chip(lo, hi):
         # local columns: (ncols/d, trace_n)
@@ -106,41 +110,49 @@ def sharded_lde_and_commit(mesh: Mesh, trace_dom: Domain, lde_dom: Domain):
 def sharded_fri_fold(mesh: Mesh, n: int, folding_factor: int):
     """Row-sharded FRI fold step: evals (n,) -> folded evals (n/N,).
 
-    The iNTT currently all-gathers the vector (FRI layers are a small
-    fraction of prover time); a distributed four-step NTT replaces this in a
-    later round."""
-    N = folding_factor
-    dom = Domain(n)
-    small = Domain(n // N)
-    naxis = mesh.devices.size
+    Fully distributed: the iNTT and the post-fold NTT both run as sharded
+    six-step transforms (parallel/ntt.py) — communication is all-to-alls of
+    n/d elements, never a full-vector gather.  The coefficient fold itself
+    (chunk-by-alpha-powers, src/fri.rs:526-567 semantics) is local because a
+    contiguous coefficient shard contains whole N-chunks."""
+    from .ntt import ShardedDomain
 
-    def per_chip(lo, hi, alo, ahi):
-        lo_full = jax.lax.all_gather(lo, "col", tiled=True)
-        hi_full = jax.lax.all_gather(hi, "col", tiled=True)
-        coeffs = dom.ifft_fp((lo_full, hi_full))
-        coeffs = fd.mul(coeffs, fd.full((n,), N))
-        resh = (coeffs[0].reshape(n // N, N), coeffs[1].reshape(n // N, N))
+    N = folding_factor
+    d = mesh.devices.size
+    sdom = ShardedDomain(mesh, n)
+    sdom_small = ShardedDomain(mesh, n // N)
+
+    sh = NamedSharding(mesh, PSpec("col"))
+    itmat = tuple(jax.device_put(t, sh) for t in sdom.inv_tables_np()[0])
+    ftmat = tuple(jax.device_put(t, sh) for t in sdom_small.fwd_tables_np()[0])
+
+    def per_chip(lo, hi, alo, ahi, itm, ftm):
+        m = n // d  # local coefficient count; N | m for all supported configs
+        coeffs = sdom.ifft_fp_local((lo, hi), itm)
+        coeffs = fd.mul(coeffs, fd.full((m,), N))
+        resh = (coeffs[0].reshape(m // N, N), coeffs[1].reshape(m // N, N))
         apow = fd.ones((1,))
         acc = (resh[0][:, 0], resh[1][:, 0])
         a = (alo, ahi)
         for j in range(1, N):
             apow = fd.mul(apow, a)
             term = fd.mul((resh[0][:, j], resh[1][:, j]),
-                          (jnp.broadcast_to(apow[0], (n // N,)),
-                           jnp.broadcast_to(apow[1], (n // N,))))
+                          (jnp.broadcast_to(apow[0], (m // N,)),
+                           jnp.broadcast_to(apow[1], (m // N,))))
             acc = fd.add(acc, term)
-        folded = small.fft_fp(acc)
-        # return my row shard
-        k = (n // N) // naxis
-        i = jax.lax.axis_index("col")
-        return (jax.lax.dynamic_slice_in_dim(folded[0], i * k, k),
-                jax.lax.dynamic_slice_in_dim(folded[1], i * k, k))
+        return sdom_small.fft_fp_local(acc, ftm)
 
     fn = jax.shard_map(
         per_chip,
         mesh=mesh,
-        in_specs=(PSpec("col"), PSpec("col"), PSpec(), PSpec()),
+        in_specs=(PSpec("col"), PSpec("col"), PSpec(), PSpec(),
+                  PSpec("col"), PSpec("col")),
         out_specs=(PSpec("col"), PSpec("col")),
         check_vma=False,
     )
-    return jax.jit(fn)
+    jitted = jax.jit(fn)
+
+    def call(lo, hi, alo, ahi):
+        return jitted(lo, hi, alo, ahi, itmat, ftmat)
+
+    return call
