@@ -1,0 +1,91 @@
+"""Multi-chip proving (no reference counterpart — the reference is
+single-device; SURVEY.md §2.5-2.6 derives the collective points).
+
+``prove_sharded`` runs the UNCHANGED proving pipeline
+(`prover.default_prove`) with every trace matrix sharded over a
+``jax.sharding.Mesh`` axis.  The phase programs are already jitted
+whole-phase device programs; handing them column-sharded operands makes
+XLA's SPMD partitioner compile partitioned executables and insert the
+collectives (all-to-alls at the row-hash boundary, gathers for the Merkle
+tip and transcript scalars) — the scaling-book recipe: pick a mesh,
+annotate shardings on the data, let the compiler place communication.
+
+Because the partitioned programs compute the *same function*, the proof
+bytes are identical to the single-chip prover's (asserted by
+tests/test_sharded_prove.py).  The hand-scheduled ``shard_map`` paths in
+``parallel/sharded.py`` / ``parallel/ntt.py`` remain the
+controlled-communication kernels for the hot phases (LDE+commit, FRI
+folds) where collective placement must ride ICI exactly at the
+Merkle/FRI boundaries (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
+
+from .. import prover
+from ..matrix import Matrix, MatrixExt3
+
+
+def _shard_matrix(m, mesh: Mesh, axis: str):
+    """Column-shard a Matrix/MatrixExt3 over `axis` (uneven ncols is fine —
+    GSPMD pads internally)."""
+    sh = NamedSharding(mesh, PSpec(axis, None))
+
+    def put(x):
+        return jax.device_put(x, sh)
+
+    if isinstance(m, MatrixExt3):
+        return MatrixExt3(*[(put(c[0]), put(c[1])) for c in m.c])
+    return Matrix(put(m.lo), put(m.hi))
+
+
+class _ShardedTrace:
+    """Trace proxy whose matrices carry the mesh sharding."""
+
+    def __init__(self, inner, mesh: Mesh, axis: str):
+        self._inner = inner
+        self._mesh = mesh
+        self._axis = axis
+
+    def base_columns(self):
+        return _shard_matrix(self._inner.base_columns(), self._mesh, self._axis)
+
+    def build_extension_columns(self, challenges):
+        ext = self._inner.build_extension_columns(challenges)
+        if ext is None:
+            return None
+        return _shard_matrix(ext, self._mesh, self._axis)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def __len__(self):
+        return len(self._inner)
+
+
+class _ShardedStark:
+    """Stark proxy that shards the generated trace before proving."""
+
+    def __init__(self, inner, mesh: Mesh, axis: str):
+        self._inner = inner
+        self._mesh = mesh
+        self._axis = axis
+
+    def generate_trace(self, witness):
+        return _ShardedTrace(self._inner.generate_trace(witness),
+                             self._mesh, self._axis)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def prove_sharded(stark, options, witness, mesh: Mesh, axis: str = "col",
+                  validate: bool = False):
+    """Prove on a device mesh; returns a Proof byte-identical to
+    ``stark.prove(options, witness)`` on one chip."""
+    proxy = _ShardedStark(stark, mesh, axis)
+    # no mesh context needed: the inputs carry NamedShardings, and jit
+    # partitions every phase program from operand shardings alone
+    return prover.default_prove(proxy, options, witness, validate=validate)
