@@ -134,9 +134,10 @@ class FriProver:
     commit boundaries.
     """
 
-    def __init__(self, options: FriOptions, fq_is_ext: bool):
+    def __init__(self, options: FriOptions, fq_is_ext: bool, hashfn=None):
         self.options = options
         self.fq_is_ext = fq_is_ext
+        self.hashfn = hashfn if hashfn is not None else merkle.H
         self.layers: list[_Layer] = []
         self.remainder_coeffs: list = []
 
@@ -146,7 +147,7 @@ class FriProver:
         if not self.fq_is_ext:
             evals = evals[0]  # Fp2; c1/c2 are structurally zero
         N = self.options.folding_factor
-        if merkle._lanes_mode() is not None:
+        if merkle._lanes_mode() is not None and self.hashfn is merkle.H:
             return self._build_layers_fused(channel, evals, n, N)
         for _ in range(self.options.num_layers(n)):
             evals = self._build_layer(channel, evals, n, N)
@@ -204,22 +205,25 @@ class FriProver:
 
     def _commit_layer(self, evals, n: int, N: int):
         """Commit to bit-reversed evals chunked into rows of N."""
+        rpo = self.hashfn is not merkle.H
         if self.fq_is_ext:
             bitrev = bit_reverse_ext3(evals)
             comps = [
                 (b[0].reshape(n // N, N), b[1].reshape(n // N, N))
                 for b in bitrev
             ]
-            digests = merkle.hash_rows_ext3(
-                *[(jnp.transpose(c[0]), jnp.transpose(c[1])) for c in comps])
+            rows = [(jnp.transpose(c[0]), jnp.transpose(c[1])) for c in comps]
+            digests = (merkle.hash_rows_ext3_rpo(*rows) if rpo
+                       else merkle.hash_rows_ext3(*rows))
             c0, c1, c2 = comps
         else:
             b = bit_reverse_fp(evals)
             c0 = (b[0].reshape(n // N, N), b[1].reshape(n // N, N))
             c1 = c2 = None
-            digests = merkle.hash_rows_fp(
+            digests = (merkle.hash_rows_fp_rpo if rpo else merkle.hash_rows_fp)(
                 jnp.transpose(c0[0]), jnp.transpose(c0[1]))
-        tree = merkle.CommittedMerkleTree.from_leaf_words(digests)
+        tree = merkle.CommittedMerkleTree.from_leaf_words(
+            digests, hashfn=self.hashfn)
         return tree, c0, c1, c2
 
     def _build_layer(self, channel, evals, n: int, N: int):
@@ -465,9 +469,10 @@ def get_query_values(rows: list, positions: list[int], folded_positions: list[in
 
 class FriVerifier:
     def __init__(self, public_coin, options: FriOptions, proof: FriProof,
-                 max_poly_degree: int):
+                 max_poly_degree: int, hashfn=None):
         self.options = options
         self.proof = proof
+        self.hashfn = hashfn if hashfn is not None else merkle.H
         domain_size = _next_pow2(max_poly_degree + 1) * options.blowup_factor
         self.domain_size = domain_size
         self.domain_generator = get_root_of_unity(domain_size).v
@@ -506,7 +511,8 @@ class FriVerifier:
                 raise VerificationError(f"row count mismatch in layer {i}")
 
             try:
-                merkle.verify_rows(commitment, folded, rows, layer.merkle_proof)
+                merkle.verify_rows(commitment, folded, rows,
+                                   layer.merkle_proof, hashfn=self.hashfn)
             except merkle.InvalidProof as e:
                 raise VerificationError(f"layer {i} commitment invalid") from e
 
@@ -517,15 +523,26 @@ class FriVerifier:
 
             # next-layer evals: per coset, iNTT (on coset g^bitrev(pos) of the
             # plain folding domain), coefficients *N, Horner at alpha
-            evaluations = []
-            for row, p in zip(rows, folded):
-                offset = pow(g, bit_reverse_index(domain_size // N, p), P)
-                chunk = [row[bit_reverse_index(N, j)] for j in range(N)]
-                coeffs = _small_coset_ifft(chunk, N, offset)
-                acc = _fq_zero(chunk[0])
-                for c in reversed(coeffs):
-                    acc = acc * alpha + c * N
-                evaluations.append(acc)
+            offsets = [pow(g, bit_reverse_index(domain_size // N, p), P)
+                       for p in folded]
+            from . import native
+            triples = native.fri_fold_rows(
+                layer.flattened_rows[:len(rows) * N], N, offsets,
+                get_root_of_unity(N).v, alpha)
+            if triples is not None:
+                is_ext = isinstance(alpha, Fq3) or isinstance(
+                    layer.flattened_rows[0], Fq3)
+                evaluations = [Fq3(*t) if is_ext else Fp(t[0])
+                               for t in triples]
+            else:
+                evaluations = []
+                for row, offset in zip(rows, offsets):
+                    chunk = [row[bit_reverse_index(N, j)] for j in range(N)]
+                    coeffs = _small_coset_ifft(chunk, N, offset)
+                    acc = _fq_zero(chunk[0])
+                    for c in reversed(coeffs):
+                        acc = acc * alpha + c * N
+                    evaluations.append(acc)
             positions = folded
             g = pow(g, N, P)
             domain_size //= N

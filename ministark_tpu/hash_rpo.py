@@ -22,6 +22,10 @@ from .ops.rpo256 import (
 
 COLLISION_RESISTANCE = 128
 
+# digest words are (lo, hi) u32 pairs of canonical-LE u64 elements
+DIGEST_WORDS_BE = False
+ZERO_DIGEST = b"\x00" * 32
+
 
 def _permute(state: list[int]) -> list[int]:
     for r in range(NUM_ROUNDS):
@@ -41,9 +45,17 @@ def _permute(state: list[int]) -> list[int]:
 
 
 def hash_elements(elements) -> bytes:
-    """RPO hash of a sequence of Fp elements (column-major absorb rule:
-    1-then-zeros padding + capacity flag when len % 8 != 0)."""
-    vals = [e.v if isinstance(e, Fp) else int(e) % P for e in elements]
+    """RPO hash of a sequence of field elements (column-major absorb rule:
+    1-then-zeros padding + capacity flag when len % 8 != 0).  Extension-field
+    elements absorb as their base coefficients in order."""
+    vals = []
+    for e in elements:
+        if isinstance(e, Fp):
+            vals.append(e.v)
+        elif hasattr(e, "c0"):  # Fq3
+            vals.extend([e.c0.v, e.c1.v, e.c2.v])
+        else:
+            vals.append(int(e) % P)
     padded = len(vals) % RATE != 0
     if padded:
         vals = vals + [1] + [0] * ((RATE - (len(vals) + 1) % RATE) % RATE)

@@ -116,6 +116,65 @@ def build_tree_levels(leaf_digest_words) -> list[np.ndarray]:
     return [np.asarray(l, dtype=np.uint32) for l in levels]
 
 
+# ---------------------------------------------------------------------------
+# RPO-256 trees (second ElementHashFn, reference gpu/src/plan.rs:32-174)
+# ---------------------------------------------------------------------------
+# Digest representation: (n, 8) u32 words [lo0, hi0, lo1, hi1, ...] — the 4
+# digest field elements as little-endian u64s (hash_rpo._digest_bytes layout).
+
+def _rpo_words(dg):
+    """(n, 4) digest limb pairs -> (n, 8) interleaved u32 words."""
+    return jnp.stack([dg[0], dg[1]], axis=2).reshape(dg[0].shape[0], 8)
+
+
+def _rpo_pairs(words):
+    """(n, 8) interleaved words -> (n, 4) limb pairs."""
+    return (words[:, 0::2], words[:, 1::2])
+
+
+def hash_rows_fp_rpo(cols_lo, cols_hi):
+    """RPO row hash of an Fp matrix given stacked column limbs (ncols, n)."""
+    from .ops import rpo256
+
+    cols = [(cols_lo[i], cols_hi[i]) for i in range(cols_lo.shape[0])]
+    return _rpo_words(rpo256.hash_elements_batch(cols))
+
+
+def hash_rows_ext3_rpo(c0, c1, c2):
+    """RPO row hash of an Fq3 matrix: each element absorbs as its 3 base
+    coefficients in order (the canonical flattening `hash_elements` uses)."""
+    from .ops import rpo256
+
+    ncols = c0[0].shape[0]
+    cols = []
+    for i in range(ncols):
+        for comp in (c0, c1, c2):
+            cols.append((comp[0][i], comp[1][i]))
+    return _rpo_words(rpo256.hash_elements_batch(cols))
+
+
+_RPO_TREE_PROGRAMS: dict = {}
+
+
+def build_tree_levels_rpo(leaf_words) -> list[np.ndarray]:
+    """All tree levels from (n, 8) RPO leaf words — ONE jitted program."""
+    from .ops import rpo256
+
+    n = int(leaf_words.shape[0])
+    if n not in _RPO_TREE_PROGRAMS:
+        def prog(words):
+            levels = [words]
+            cur = words
+            while cur.shape[0] > 1:
+                left = _rpo_pairs(cur[0::2])
+                right = _rpo_pairs(cur[1::2])
+                cur = _rpo_words(rpo256.merge_digests(left, right))
+                levels.append(cur)
+            return levels
+        _RPO_TREE_PROGRAMS[n] = jax.jit(prog)
+    return [np.asarray(l, dtype=np.uint32) for l in _RPO_TREE_PROGRAMS[n](leaf_words)]
+
+
 def build_tree_levels_device(leaf_digest_words, interpret: bool = False) -> list:
     """Device-resident tree build via the lane-major Pallas kernel: the
     levels STAY on device ((8, m) lane-major); only root + queried paths
@@ -180,9 +239,15 @@ class CommittedMerkleTree:
         self.n = int(levels[0].shape[1] if device_lanes else levels[0].shape[0])
         assert self.n & (self.n - 1) == 0 and self.n >= 2
         self._root = None
+        # digest word->byte order: SHA-256 words serialize big-endian, RPO
+        # digests are 4 canonical-LE u64s stored as (lo, hi) u32 word pairs
+        self._be = getattr(hashfn, "DIGEST_WORDS_BE", True)
 
     @staticmethod
-    def from_leaf_words(leaf_digest_words) -> "CommittedMerkleTree":
+    def from_leaf_words(leaf_digest_words, hashfn=H) -> "CommittedMerkleTree":
+        if hashfn is not H:
+            return CommittedMerkleTree(
+                build_tree_levels_rpo(leaf_digest_words), hashfn=hashfn)
         mode = _lanes_mode()
         if mode is not None:
             return CommittedMerkleTree(
@@ -210,7 +275,7 @@ class CommittedMerkleTree:
         if not wants:
             return {}
         if not self.device_lanes:
-            return {(lvl, i): _digest_at(self.levels[lvl], i)
+            return {(lvl, i): _digest_at(self.levels[lvl], i, self._be)
                     for lvl, ix in wants.items() for i in ix}
         order = sorted(wants)
         key = (len(self.levels), tuple((lvl, len(wants[lvl]))
@@ -224,12 +289,13 @@ class CommittedMerkleTree:
             [self.levels[lvl] for lvl in order],
             [jnp.asarray(np.asarray(wants[lvl], np.int32)) for lvl in order])
         block = np.asarray(packed, dtype=np.uint32)  # (8, K)
+        bo = "big" if self._be else "little"
         out = {}
         col = 0
         for lvl in order:
             for i in wants[lvl]:
                 out[(lvl, i)] = b"".join(
-                    int(w).to_bytes(4, "big") for w in block[:, col])
+                    int(w).to_bytes(4, bo) for w in block[:, col])
                 col += 1
         return out
 
@@ -319,13 +385,14 @@ class CommittedMerkleTree:
         if blocks is None:
             for lvl, ix in wants_sorted.items():
                 for i in ix:
-                    got[(lvl, i)] = _digest_at(self.levels[lvl], i)
+                    got[(lvl, i)] = _digest_at(self.levels[lvl], i, self._be)
         else:
+            bo = "big" if self._be else "little"
             for j, lvl in enumerate(order):
                 block = blocks[j][0]  # (8, k)
                 for c, i in enumerate(wants_sorted[lvl]):
                     got[(lvl, i)] = b"".join(
-                        int(w).to_bytes(4, "big") for w in block[:, c])
+                        int(w).to_bytes(4, bo) for w in block[:, c])
 
         def node_bytes(flat: int) -> bytes:
             # flat == 0 only occurs for the degenerate 2-leaf tree, where the
@@ -343,8 +410,9 @@ class CommittedMerkleTree:
         )
 
 
-def _digest_at(level: np.ndarray, i: int) -> bytes:
-    return b"".join(int(w).to_bytes(4, "big") for w in level[i])
+def _digest_at(level: np.ndarray, i: int, be: bool = True) -> bytes:
+    return b"".join(int(w).to_bytes(4, "big" if be else "little")
+                    for w in level[i])
 
 
 # ---------------------------------------------------------------------------
@@ -353,6 +421,12 @@ def _digest_at(level: np.ndarray, i: int) -> bytes:
 
 class InvalidProof(Exception):
     pass
+
+
+_NATIVE_VIEW_ERRS = {
+    1: "leaf index out of bounds", 2: "missing sibling leaf",
+    3: "extra sibling leaves", 4: "malformed proof", 5: "root mismatch",
+    6: "missing node", 7: "proof did not reach root"}
 
 
 def verify_view(root: bytes, proof: MerkleView, indices: list[int],
@@ -365,6 +439,15 @@ def verify_view(root: bytes, proof: MerkleView, indices: list[int],
     idx = sorted(set(indices))
     if len(idx) != len(proof.initial_leaves):
         raise InvalidProof("wrong number of leaves")
+
+    if hashfn is H:
+        from . import native
+        rc = native.mk_verify_view(root, height, idx, proof.initial_leaves,
+                                   proof.sibling_leaves, proof.nodes)
+        if rc is not None:
+            if rc != 0:
+                raise InvalidProof(_NATIVE_VIEW_ERRS[rc])
+            return
 
     siblings = list(proof.sibling_leaves)
     si = 0
@@ -490,10 +573,19 @@ def _commit_program(kind: str, shape, bit_reversed_input: bool,
     return _COMMIT_PROGRAMS[key]
 
 
-def commit_matrix_fp(cols_lo, cols_hi, bit_reversed_input: bool = False) -> CommittedMerkleTree:
+def commit_matrix_fp(cols_lo, cols_hi, bit_reversed_input: bool = False,
+                     hashfn=H) -> CommittedMerkleTree:
     """Commit to an Fp matrix whose columns are given in NATURAL domain order
     (ncols, n); leaves follow the protocol's bit-reversed row order by
-    permuting the row digests."""
+    permuting the row digests.  `hashfn` selects the tree hash (SHA-256
+    default, RPO-256 via hash_rpo) — the reference's MerkleTree associated
+    type (src/stark.rs:25-35)."""
+    if hashfn is not H:
+        digests = hash_rows_fp_rpo(cols_lo, cols_hi)
+        if not bit_reversed_input:
+            perm = jnp.asarray(bit_reverse_indices(digests.shape[0]))
+            digests = digests[perm]
+        return CommittedMerkleTree.from_leaf_words(digests, hashfn=hashfn)
     mode = _lanes_mode()
     if mode is not None:
         prog = _commit_program("fp", cols_lo.shape, bit_reversed_input,
@@ -506,7 +598,14 @@ def commit_matrix_fp(cols_lo, cols_hi, bit_reversed_input: bool = False) -> Comm
     return CommittedMerkleTree.from_leaf_words(digests)
 
 
-def commit_matrix_ext3(c0, c1, c2, bit_reversed_input: bool = False) -> CommittedMerkleTree:
+def commit_matrix_ext3(c0, c1, c2, bit_reversed_input: bool = False,
+                       hashfn=H) -> CommittedMerkleTree:
+    if hashfn is not H:
+        digests = hash_rows_ext3_rpo(c0, c1, c2)
+        if not bit_reversed_input:
+            perm = jnp.asarray(bit_reverse_indices(digests.shape[0]))
+            digests = digests[perm]
+        return CommittedMerkleTree.from_leaf_words(digests, hashfn=hashfn)
     mode = _lanes_mode()
     if mode is not None:
         prog = _commit_program("ext3", c0[0].shape, bit_reversed_input,

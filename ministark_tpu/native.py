@@ -51,6 +51,22 @@ def get_lib():
         lib.gl_batch_inv.restype = None
         lib.gl_batch_inv.argtypes = [ctypes.POINTER(ctypes.c_uint64),
                                      ctypes.POINTER(ctypes.c_uint64), ctypes.c_size_t]
+        U64P = ctypes.POINTER(ctypes.c_uint64)
+        lib.mk_verify_view.restype = ctypes.c_int
+        lib.mk_verify_view.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint32, U64P, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t]
+        lib.fri_fold_rows.restype = None
+        lib.fri_fold_rows.argtypes = [
+            U64P, ctypes.c_size_t, ctypes.c_uint32, U64P, ctypes.c_uint64,
+            U64P, U64P]
+        lib.deep_evals.restype = None
+        lib.deep_evals.argtypes = [
+            U64P, ctypes.c_size_t,
+            ctypes.c_size_t, U64P, U64P, U64P, U64P,
+            ctypes.c_size_t, U64P, U64P, U64P,
+            U64P, U64P, U64P, U64P]
         _lib = lib
     except Exception:
         _lib = None
@@ -83,3 +99,68 @@ def gl_batch_inv(values: list[int]) -> list[int] | None:
     out = (ctypes.c_uint64 * n)()
     lib.gl_batch_inv(arr, out, n)
     return list(out)
+
+
+def _u64_arr(vals):
+    return (ctypes.c_uint64 * len(vals))(*vals)
+
+
+def _fq3_flat(scalars) -> list[int]:
+    """Flatten Fp/Fq3 scalars to (c0, c1, c2) canonical u64 triples."""
+    out = []
+    for s in scalars:
+        if hasattr(s, "c0"):
+            out.extend([s.c0.v, s.c1.v, s.c2.v])
+        else:
+            out.extend([s.v if hasattr(s, "v") else int(s), 0, 0])
+    return out
+
+
+def mk_verify_view(root: bytes, height: int, indices: list[int],
+                   initial_leaves: list[bytes], sibling_leaves: list[bytes],
+                   nodes: list[bytes]) -> int | None:
+    """Native Merkle multi-proof check: 0 = valid, >0 = the python
+    verify_view failure modes in order; None if the lib is unavailable.
+    `indices` must be sorted unique and len == len(initial_leaves)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    return int(lib.mk_verify_view(
+        root, height, _u64_arr(indices), len(indices),
+        b"".join(initial_leaves), b"".join(sibling_leaves),
+        len(sibling_leaves), b"".join(nodes), len(nodes)))
+
+
+def fri_fold_rows(rows_flat: list, N: int, offsets: list[int], w: int,
+                  alpha) -> list[tuple[int, int, int]] | None:
+    """Native FRI next-layer evals; rows_flat = n*N Fq/Fp scalars (row-major).
+    Returns n (c0, c1, c2) triples, or None without the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(rows_flat) // N
+    out = (ctypes.c_uint64 * (3 * n))()
+    lib.fri_fold_rows(_u64_arr(_fq3_flat(rows_flat)), n, N,
+                      _u64_arr(offsets), w, _u64_arr(_fq3_flat([alpha])), out)
+    return [(out[3 * i], out[3 * i + 1], out[3 * i + 2]) for i in range(n)]
+
+
+def deep_evals(xs: list[int], n_args: int, trace_vals: list, oods: list,
+               alphas: list, zshifts: list, n_comp: int, comp_vals: list,
+               coods: list, betas: list, zn, da, db):
+    """Native DEEP quotient evaluations; returns n (c0,c1,c2) triples or
+    None.  trace_vals/comp_vals are row-major scalar lists."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(xs)
+    out = (ctypes.c_uint64 * (3 * n))()
+    lib.deep_evals(
+        _u64_arr(xs), n,
+        n_args, _u64_arr(_fq3_flat(trace_vals)), _u64_arr(_fq3_flat(oods)),
+        _u64_arr(_fq3_flat(alphas)), _u64_arr(_fq3_flat(zshifts)),
+        n_comp, _u64_arr(_fq3_flat(comp_vals)), _u64_arr(_fq3_flat(coods)),
+        _u64_arr(_fq3_flat(betas)),
+        _u64_arr(_fq3_flat([zn])), _u64_arr(_fq3_flat([da])),
+        _u64_arr(_fq3_flat([db])), out)
+    return [(out[3 * i], out[3 * i + 1], out[3 * i + 2]) for i in range(n)]

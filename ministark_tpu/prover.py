@@ -75,6 +75,8 @@ def _comp_commit_program(trace_len: int, cb: int, ce_dom, lde_dom,
 
 def default_prove(stark, options: ProofOptions, witness, validate: bool = False) -> Proof:
     fq_is_ext = stark.fq is Fq3
+    from . import hash as H
+    hashfn = getattr(stark, "merkle_hash", H)  # MerkleTree assoc type analogue
 
     with Timer("Trace generation"):
         trace = stark.generate_trace(witness)
@@ -92,7 +94,8 @@ def default_prove(stark, options: ProofOptions, witness, validate: bool = False)
         assert air.config.NUM_BASE_COLUMNS == base_trace.num_cols
         base_polys = base_trace.interpolate(trace_dom)
         base_lde = base_polys.evaluate(lde_dom)  # natural order
-        base_tree = merkle.commit_matrix_fp(base_lde.lo, base_lde.hi)
+        base_tree = merkle.commit_matrix_fp(base_lde.lo, base_lde.hi,
+                                            hashfn=hashfn)
     channel.commit_base_trace(base_tree.root())
 
     challenges = Challenges(channel.public_coin.draw_multiple(air.num_challenges()))
@@ -108,7 +111,8 @@ def default_prove(stark, options: ProofOptions, witness, validate: bool = False)
             ext_polys = ext_trace.interpolate(trace_dom)
             ext_lde = ext_polys.evaluate(lde_dom)
             e = ext_lde.as_ext3()
-            ext_tree = merkle.commit_matrix_ext3(e[0], e[1], e[2])
+            ext_tree = merkle.commit_matrix_ext3(e[0], e[1], e[2],
+                                                 hashfn=hashfn)
             channel.commit_extension_trace(ext_tree.root())
 
     if validate:
@@ -136,7 +140,7 @@ def default_prove(stark, options: ProofOptions, witness, validate: bool = False)
 
     with Timer("Composition trace commitment"):
         cb = air.ce_blowup_factor
-        mode = merkle._lanes_mode()
+        mode = merkle._lanes_mode() if hashfn is merkle.H else None
         if mode is not None:
             # ONE program: iNTT + column split + coset NTT + hash + full tree
             prog = _comp_commit_program(
@@ -157,14 +161,16 @@ def default_prove(stark, options: ProofOptions, witness, validate: bool = False)
                 for c in coeffs])
             comp_lde = comp_polys.evaluate(lde_dom)
             ce_ = comp_lde.as_ext3()
-            comp_tree = merkle.commit_matrix_ext3(ce_[0], ce_[1], ce_[2])
+            comp_tree = merkle.commit_matrix_ext3(ce_[0], ce_[1], ce_[2],
+                                                 hashfn=hashfn)
         else:
             coeffs = ce_dom.ifft_fp(comp_evals)
             comp_polys = Matrix(
                 coeffs[0].reshape(air.trace_len, cb).T,
                 coeffs[1].reshape(air.trace_len, cb).T)
             comp_lde = comp_polys.evaluate(lde_dom)
-            comp_tree = merkle.commit_matrix_fp(comp_lde.lo, comp_lde.hi)
+            comp_tree = merkle.commit_matrix_fp(comp_lde.lo, comp_lde.hi,
+                                                hashfn=hashfn)
         channel.commit_composition_trace(comp_tree.root())
 
     # -- phase 4: DEEP composition (src/prover.rs:133-149) -------------------
@@ -183,12 +189,14 @@ def default_prove(stark, options: ProofOptions, witness, validate: bool = False)
             folding_factor=options.fri_folding_factor,
             max_remainder_coeffs=options.fri_max_remainder_coeffs,
             blowup_factor=options.lde_blowup_factor)
-        fri_prover = FriProver(fri_options, fq_is_ext)
+        fri_prover = FriProver(fri_options, fq_is_ext, hashfn=hashfn)
         fri_prover.build_layers(channel, deep_lde)
 
     # -- phase 6: PoW + queries (src/prover.rs:157-173) ----------------------
     with Timer("Proof of work"):
-        channel.grind_fri_commitments(grinder=dpow.grind)
+        coin_is_sha = channel.public_coin.hashfn is H
+        channel.grind_fri_commitments(
+            grinder=dpow.grind if coin_is_sha else None)
 
     query_positions = channel.get_fri_query_positions()
     with Timer("FRI decommit"):

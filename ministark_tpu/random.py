@@ -26,12 +26,15 @@ from .fields.scalar import Fp, Fq3, P, R_MONT_INV
 class PublicCoin:
     """PublicCoinImpl<F, Sha256HashFn> equivalent. `field` is Fp or Fq3."""
 
-    def __init__(self, seed: bytes, field=Fp):
+    def __init__(self, seed: bytes, field=Fp, hashfn=H):
         assert len(seed) == 32
         self.seed = seed
         self.counter = 0
         self.bytes_buf = b""
         self.field = field
+        # the reference's hash type parameter D (PublicCoinImpl<F, D>,
+        # src/random.rs:62-86): SHA-256 default, hash_rpo for algebraic coins
+        self.hashfn = hashfn
 
     # -- reseeding -----------------------------------------------------------
 
@@ -40,12 +43,12 @@ class PublicCoin:
         self.bytes_buf = b""
 
     def reseed_with_digest(self, digest: bytes):
-        self.seed = H.merge(self.seed, digest)
+        self.seed = self.hashfn.merge(self.seed, digest)
         self._reset()
 
     def reseed_with_field_elements(self, vals):
         for v in vals:
-            self.seed = H.merge(self.seed, H.hash_elements([v]))
+            self.seed = self.hashfn.merge(self.seed, self.hashfn.hash_elements([v]))
             self._reset()
 
     def reseed_with_field_element_vector(self, vals):
@@ -53,7 +56,7 @@ class PublicCoin:
         self.reseed_with_field_elements(vals)
 
     def reseed_with_int(self, val: int):
-        self.seed = H.merge_with_int(self.seed, val)
+        self.seed = self.hashfn.merge_with_int(self.seed, val)
         self._reset()
 
     # -- byte stream ---------------------------------------------------------
@@ -61,7 +64,7 @@ class PublicCoin:
     def _gen_next(self) -> bytes:
         self.counter += 1
         self.bytes_buf = b""
-        return H.merge_with_int(self.seed, self.counter)
+        return self.hashfn.merge_with_int(self.seed, self.counter)
 
     def next_byte(self) -> int:
         if not self.bytes_buf:
@@ -123,8 +126,8 @@ class PublicCoin:
     # -- proof of work -------------------------------------------------------
 
     def verify_proof_of_work(self, bits: int, nonce: int) -> bool:
-        digest = H.merge_with_int(self.seed, nonce)
-        return H.leading_zeros(digest) >= bits
+        digest = self.hashfn.merge_with_int(self.seed, nonce)
+        return H.leading_zeros(digest) >= bits  # bit count is hash-agnostic
 
     def grind_proof_of_work(self, bits: int) -> int:
         """Host grind: smallest valid nonce >= 1 (deterministic; the
@@ -133,14 +136,14 @@ class PublicCoin:
         lives in ops/pow.py."""
         from . import native
 
-        nonce = native.pow_grind(self.seed, bits)
-        if nonce is not None:
-            return nonce
+        if self.hashfn is H:
+            nonce = native.pow_grind(self.seed, bits)
+            if nonce is not None:
+                return nonce
         nonce = 1
         while not self.verify_proof_of_work(bits, nonce):
             nonce += 1
         return nonce
 
-    @staticmethod
-    def security_level_bits() -> int:
-        return H.COLLISION_RESISTANCE
+    def security_level_bits(self) -> int:
+        return self.hashfn.COLLISION_RESISTANCE

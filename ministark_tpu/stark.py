@@ -38,6 +38,11 @@ class Stark:
     air_config = None
     fp = Fp
     fq = Fp
+    # Merkle tree hash (the reference's MerkleTree associated type,
+    # src/stark.rs:25-35): the `hash` module (SHA-256, default) or
+    # `hash_rpo` (RPO-256, eprint 2022/1577 — the algebraic hash the
+    # reference ships GPU kernels for, gpu/src/plan.rs:32-174).
+    merkle_hash = H
 
     # -- user hooks ----------------------------------------------------------
 

@@ -25,6 +25,9 @@ def default_verify(stark, proof: Proof, required_security_bits: int):
     if proof.security_level_bits(fq) < required_security_bits:
         raise VerificationError("proof params do not satisfy security requirements")
 
+    from . import hash as H
+    hashfn = getattr(stark, "merkle_hash", H)
+
     options = proof.options
     air = stark.build_air(proof.trace_len, options)
     coin = stark.gen_public_coin(air)
@@ -56,7 +59,8 @@ def default_verify(stark, proof: Proof, required_security_bits: int):
         folding_factor=options.fri_folding_factor,
         max_remainder_coeffs=options.fri_max_remainder_coeffs,
         blowup_factor=options.lde_blowup_factor)
-    fri_verifier = FriVerifier(coin, fri_options, proof.fri_proof, proof.trace_len - 1)
+    fri_verifier = FriVerifier(coin, fri_options, proof.fri_proof,
+                               proof.trace_len - 1, hashfn=hashfn)
 
     if options.grinding_factor != 0:
         if not coin.verify_proof_of_work(options.grinding_factor, proof.pow_nonce):
@@ -75,21 +79,23 @@ def default_verify(stark, proof: Proof, required_security_bits: int):
 
     try:
         merkle.verify_rows(proof.base_trace_commitment, query_positions,
-                           base_rows, q.base_trace_proof)
+                           base_rows, q.base_trace_proof, hashfn=hashfn)
     except merkle.InvalidProof as e:
         raise VerificationError("query does not resolve to the base trace commitment") from e
 
     if proof.extension_trace_commitment is not None:
         try:
             merkle.verify_rows(proof.extension_trace_commitment, query_positions,
-                               ext_rows, q.extension_trace_proof)
+                               ext_rows, q.extension_trace_proof,
+                               hashfn=hashfn)
         except merkle.InvalidProof as e:
             raise VerificationError(
                 "query does not resolve to the extension trace commitment") from e
 
     try:
         merkle.verify_rows(proof.composition_trace_commitment, query_positions,
-                           comp_rows, q.composition_trace_proof)
+                           comp_rows, q.composition_trace_proof,
+                           hashfn=hashfn)
     except merkle.InvalidProof as e:
         raise VerificationError(
             "query does not resolve to the composition trace commitment") from e
@@ -162,6 +168,26 @@ def deep_composition_evaluations(air, query_positions, deep_coeffs, base_rows,
     xs = [lde_dom.element(bit_reverse_index(n, p)) for p in query_positions]
 
     nb = air.config.NUM_BASE_COLUMNS
+
+    from . import native
+    if native.get_lib() is not None:
+        items = sorted(trace_ood_eval_map.items())
+        trace_vals = [
+            (base_rows[i][col] if col < nb else ext_rows[i][col - nb])
+            for i in range(len(xs)) for (col, _off), _ood in items]
+        zshifts = [z * Fp(pow(g if off >= 0 else g_inv, abs(off), P))
+                   for (_col, off), _ood in items]
+        comp_flat = [v for row in comp_rows for v in row]
+        da, db = deep_coeffs.degree
+        triples = native.deep_evals(
+            [x.v for x in xs], len(items), trace_vals,
+            [ood for _k, ood in items], deep_coeffs.execution_trace, zshifts,
+            len(comp_rows[0]) if comp_rows else 0, comp_flat,
+            composition_trace_ood_evals, deep_coeffs.composition_trace,
+            z_n, da, db)
+        is_ext = not isinstance(z, Fp)
+        return [type(z)(*t) if is_ext else type(z)(t[0]) for t in triples]
+
     evals = []
     for i, x in enumerate(xs):
         acc = _zero_like(z)

@@ -12,6 +12,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <vector>
 
 extern "C" {
 
@@ -203,6 +204,222 @@ void merkle_build(const uint8_t* leaves, size_t n, uint8_t* nodes) {
     memcpy(nodes + 32 * n, leaves, 32 * n);
     for (size_t i = n - 1; i >= 1; i--) {
         sha256_merge(nodes + 32 * (2 * i), nodes + 32 * (2 * i + 1), nodes + 32 * i);
+    }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fq3 = Fp[u]/(u^3 - 2)  (gpu/src/fields.rs:78-95) — components canonical u64
+// ---------------------------------------------------------------------------
+
+static const uint64_t FQ3_M = 2;  // NONRESIDUE
+
+static inline void fq3_add_(const uint64_t* a, const uint64_t* b, uint64_t* o) {
+    o[0] = gl_add(a[0], b[0]); o[1] = gl_add(a[1], b[1]); o[2] = gl_add(a[2], b[2]);
+}
+
+static inline void fq3_sub_(const uint64_t* a, const uint64_t* b, uint64_t* o) {
+    o[0] = gl_sub(a[0], b[0]); o[1] = gl_sub(a[1], b[1]); o[2] = gl_sub(a[2], b[2]);
+}
+
+static inline void fq3_mul_(const uint64_t* a, const uint64_t* b, uint64_t* o) {
+    uint64_t a0 = a[0], a1 = a[1], a2 = a[2];
+    uint64_t b0 = b[0], b1 = b[1], b2 = b[2];
+    uint64_t t0 = gl_add(gl_mul(a0, b0),
+                         gl_mul(FQ3_M, gl_add(gl_mul(a1, b2), gl_mul(a2, b1))));
+    uint64_t t1 = gl_add(gl_add(gl_mul(a0, b1), gl_mul(a1, b0)),
+                         gl_mul(FQ3_M, gl_mul(a2, b2)));
+    uint64_t t2 = gl_add(gl_add(gl_mul(a0, b2), gl_mul(a1, b1)), gl_mul(a2, b0));
+    o[0] = t0; o[1] = t1; o[2] = t2;
+}
+
+static inline void fq3_mul_fp_(const uint64_t* a, uint64_t f, uint64_t* o) {
+    o[0] = gl_mul(a[0], f); o[1] = gl_mul(a[1], f); o[2] = gl_mul(a[2], f);
+}
+
+// standard cubic-extension inverse for u^3 = m (fields/scalar.py Fq3.inverse)
+static inline void fq3_inv_(const uint64_t* x, uint64_t* o) {
+    uint64_t a = x[0], b = x[1], c = x[2];
+    uint64_t v0 = gl_sub(gl_mul(a, a), gl_mul(FQ3_M, gl_mul(b, c)));
+    uint64_t v1 = gl_sub(gl_mul(FQ3_M, gl_mul(c, c)), gl_mul(a, b));
+    uint64_t v2 = gl_sub(gl_mul(b, b), gl_mul(a, c));
+    uint64_t norm = gl_add(gl_mul(a, v0),
+                           gl_mul(FQ3_M, gl_add(gl_mul(c, v1), gl_mul(b, v2))));
+    uint64_t ninv = gl_inv(norm);
+    o[0] = gl_mul(v0, ninv); o[1] = gl_mul(v1, ninv); o[2] = gl_mul(v2, ninv);
+}
+
+static inline uint32_t bitrev_u32(uint32_t i, uint32_t bits) {
+    uint32_t r = 0;
+    for (uint32_t b = 0; b < bits; b++) r |= ((i >> b) & 1u) << (bits - 1 - b);
+    return r;
+}
+
+extern "C" {
+
+void fq3_mul(const uint64_t a[3], const uint64_t b[3], uint64_t out[3]) {
+    fq3_mul_(a, b, out);
+}
+
+void fq3_inv(const uint64_t a[3], uint64_t out[3]) { fq3_inv_(a, out); }
+
+// ---------------------------------------------------------------------------
+// Merkle multi-proof verification (queue algorithm, src/merkle.rs:209-288;
+// exact mirror of ministark_tpu/merkle.py verify_view).  SHA-256 merges.
+// Returns 0 = valid; 1..7 = the python path's failure modes in order.
+// `indices` must be sorted unique, each < 2^height.
+// ---------------------------------------------------------------------------
+int mk_verify_view(const uint8_t root[32], uint32_t height,
+                   const uint64_t* indices, size_t n_idx,
+                   const uint8_t* initial_leaves,
+                   const uint8_t* sibling_leaves, size_t n_sib,
+                   const uint8_t* nodes, size_t n_nodes) {
+    const uint64_t n = 1ULL << height;
+    for (size_t i = 0; i < n_idx; i++)
+        if (indices[i] >= n) return 1;  // leaf index out of bounds
+
+    struct Node { uint64_t index; uint8_t h[32]; };
+    std::vector<Node> node_queue;
+    node_queue.reserve(n_idx * (height + 1));
+
+    size_t si = 0, qi = 0;
+    while (qi < n_idx) {
+        uint64_t index = indices[qi];
+        const uint8_t* leaf = initial_leaves + 32 * qi;
+        qi++;
+        Node nd;
+        nd.index = (n + index) >> 1;
+        if (qi < n_idx && indices[qi] == (index ^ 1)) {
+            sha256_merge(leaf, initial_leaves + 32 * qi, nd.h);
+            qi++;
+        } else {
+            if (si >= n_sib) return 2;  // missing sibling leaf
+            const uint8_t* sib = sibling_leaves + 32 * si;
+            si++;
+            if (index % 2 == 0) sha256_merge(leaf, sib, nd.h);
+            else sha256_merge(sib, leaf, nd.h);
+        }
+        node_queue.push_back(nd);
+    }
+    if (si != n_sib) return 3;  // extra sibling leaves
+
+    size_t ni = 0, qn = 0;
+    while (qn < node_queue.size()) {
+        Node cur = node_queue[qn];
+        qn++;
+        if (cur.index == 1) {
+            if (qn != node_queue.size()) return 4;  // malformed proof
+            return memcmp(root, cur.h, 32) == 0 ? 0 : 5;  // root mismatch
+        }
+        Node nd;
+        nd.index = cur.index >> 1;
+        if (qn < node_queue.size() && node_queue[qn].index == (cur.index ^ 1)) {
+            sha256_merge(cur.h, node_queue[qn].h, nd.h);
+            qn++;
+        } else {
+            if (ni >= n_nodes) return 6;  // missing node
+            const uint8_t* sib = nodes + 32 * ni;
+            ni++;
+            if (cur.index % 2 == 0) sha256_merge(cur.h, sib, nd.h);
+            else sha256_merge(sib, cur.h, nd.h);
+        }
+        node_queue.push_back(nd);
+    }
+    return 7;  // proof did not reach root
+}
+
+// ---------------------------------------------------------------------------
+// FRI next-layer evaluations (src/fri.rs:347-425 verifier side; mirrors
+// ministark_tpu/fri.py FriVerifier.verify inner loop):
+// per row: chunk[j] = row[bitrev_N(j)], coset iNTT over {offset * w^i},
+// then Horner with coefficient scale N at alpha.
+// rows: n*N Fq3 triples; offsets: n Fp; w = primitive N-th root.
+// ---------------------------------------------------------------------------
+void fri_fold_rows(const uint64_t* rows, size_t n, uint32_t N,
+                   const uint64_t* offsets, uint64_t w,
+                   const uint64_t alpha[3], uint64_t* out) {
+    uint32_t logN = 0;
+    while ((1u << logN) < N) logN++;
+    uint64_t n_inv = gl_inv(N);
+    std::vector<uint64_t> wpow(N);  // w^t, t < N
+    wpow[0] = 1;
+    for (uint32_t t = 1; t < N; t++) wpow[t] = gl_mul(wpow[t - 1], w);
+
+    std::vector<uint64_t> chunk(3 * N), coeffs(3 * N);
+    for (size_t r = 0; r < n; r++) {
+        const uint64_t* row = rows + r * N * 3;
+        for (uint32_t j = 0; j < N; j++) {
+            uint32_t src = bitrev_u32(j, logN);
+            memcpy(&chunk[3 * j], row + 3 * src, 3 * sizeof(uint64_t));
+        }
+        uint64_t off_inv = gl_inv(offsets[r]);
+        uint64_t off_inv_k = 1;
+        for (uint32_t k = 0; k < N; k++) {
+            uint64_t acc[3] = {0, 0, 0};
+            for (uint32_t i = 0; i < N; i++) {
+                uint64_t wexp = wpow[(N - (uint32_t)(((uint64_t)i * k) % N)) % N];
+                uint64_t term[3];
+                fq3_mul_fp_(&chunk[3 * i], wexp, term);
+                fq3_add_(acc, term, acc);
+            }
+            fq3_mul_fp_(acc, gl_mul(n_inv, off_inv_k), &coeffs[3 * k]);
+            off_inv_k = gl_mul(off_inv_k, off_inv);
+        }
+        uint64_t acc[3] = {0, 0, 0};
+        for (uint32_t k = N; k-- > 0;) {
+            uint64_t t[3], cN[3];
+            fq3_mul_(acc, alpha, t);
+            fq3_mul_fp_(&coeffs[3 * k], N, cN);
+            fq3_add_(t, cN, acc);
+        }
+        memcpy(out + 3 * r, acc, 3 * sizeof(uint64_t));
+    }
+}
+
+// ---------------------------------------------------------------------------
+// DEEP composition evaluations at the query points (src/verifier.rs:238-297;
+// mirrors ministark_tpu/verifier.py deep_composition_evaluations):
+// out_i = [ sum_j a_j*(T_ij - ood_j)/(x_i - zs_j)
+//         + sum_k b_k*(C_ik - cood_k)/(x_i - z_n) ] * (da + db*x_i)
+// xs: n Fp; trace_vals: n*n_args Fq3; comp_vals: n*n_comp Fq3; rest Fq3.
+// ---------------------------------------------------------------------------
+void deep_evals(const uint64_t* xs, size_t n,
+                size_t n_args, const uint64_t* trace_vals,
+                const uint64_t* oods, const uint64_t* alphas,
+                const uint64_t* zshifts,
+                size_t n_comp, const uint64_t* comp_vals,
+                const uint64_t* coods, const uint64_t* betas,
+                const uint64_t zn[3],
+                const uint64_t da[3], const uint64_t db[3],
+                uint64_t* out) {
+    for (size_t i = 0; i < n; i++) {
+        uint64_t x = xs[i];
+        uint64_t xe[3] = {x, 0, 0};
+        uint64_t acc[3] = {0, 0, 0};
+        for (size_t j = 0; j < n_args; j++) {
+            uint64_t num[3], den[3], inv[3], t[3];
+            fq3_sub_(trace_vals + (i * n_args + j) * 3, oods + 3 * j, num);
+            fq3_sub_(xe, zshifts + 3 * j, den);
+            fq3_inv_(den, inv);
+            fq3_mul_(num, inv, t);
+            fq3_mul_(t, alphas + 3 * j, t);
+            fq3_add_(acc, t, acc);
+        }
+        uint64_t denc[3], invc[3];
+        fq3_sub_(xe, zn, denc);
+        fq3_inv_(denc, invc);
+        for (size_t k = 0; k < n_comp; k++) {
+            uint64_t num[3], t[3];
+            fq3_sub_(comp_vals + (i * n_comp + k) * 3, coods + 3 * k, num);
+            fq3_mul_(num, invc, t);
+            fq3_mul_(t, betas + 3 * k, t);
+            fq3_add_(acc, t, acc);
+        }
+        uint64_t adj[3], dbx[3];
+        fq3_mul_fp_(db, x, dbx);
+        fq3_add_(da, dbx, adj);
+        fq3_mul_(acc, adj, out + 3 * i);
     }
 }
 

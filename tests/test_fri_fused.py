@@ -120,7 +120,12 @@ def test_prove_lanes_interpret_matches(monkeypatch):
 @pytest.mark.slow
 def test_comp_commit_program_ext_matches(monkeypatch):
     """The fused composition-commit program (Fq3 path) must match the eager
-    ifft/split/evaluate/commit pipeline."""
+    ifft/split/evaluate/commit pipeline.
+
+    The persistent compilation cache is disabled here: serializing THIS
+    executable segfaults XLA:CPU inside the cache write (observed on the
+    2025-era jaxlib in this image) — the kernel itself runs fine."""
+    import jax
     import jax.numpy as jnp
 
     from ministark_tpu.fields.scalar import GENERATOR
@@ -128,8 +133,18 @@ def test_comp_commit_program_ext_matches(monkeypatch):
     from ministark_tpu.ntt import Domain
     from ministark_tpu.prover import _comp_commit_program
 
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        _comp_commit_body(jnp, GENERATOR, MatrixExt3, Domain,
+                          _comp_commit_program)
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)
+
+
+def _comp_commit_body(jnp, GENERATOR, MatrixExt3, Domain,
+                      _comp_commit_program):
     rng = np.random.default_rng(9)
-    trace_len, cb, blowup = 256, 2, 4
+    trace_len, cb, blowup = 64, 2, 4
     ce_dom = Domain(trace_len * cb, GENERATOR)
     lde_dom = Domain(trace_len * blowup, GENERATOR)
 
