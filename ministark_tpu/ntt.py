@@ -469,16 +469,12 @@ def _host_tree_sum_np(lo, hi):
 def _tree_sum_fp(a: fd.Fp2) -> fd.Fp2:
     """Sum along last axis via halving (log-depth, exact mod p).
 
-    On the CPU backend the reduction runs as a host callback: XLA:CPU
-    re-fuses the halving chain into its producers with per-level recompute
-    (a 4096-wide sum inside the OOD program measured 468 s; see
-    fields/device.py batch_inv for the same pathology)."""
-    if jax.default_backend() == "cpu":
-        shape = jnp.shape(a[0])[:-1]
-        result_shape = (jax.ShapeDtypeStruct(shape, fd.U32),
-                        jax.ShapeDtypeStruct(shape, fd.U32))
-        return tuple(jax.pure_callback(_host_tree_sum_np, result_shape,
-                                       a[0], a[1]))
+    Each halving level sits behind an optimization_barrier: XLA:CPU
+    re-fuses the chain into its producers with per-level recompute
+    (a 4096-wide sum inside the OOD program measured 468 s) — the barrier
+    pins each level's result.  (A host pure_callback was used before, but
+    callbacks abort under SPMD when operands arrive sharded.)"""
+    barrier = jax.default_backend() == "cpu"
     n = a[0].shape[-1]
     while n > 1:
         if n % 2 == 1:
@@ -496,6 +492,8 @@ def _tree_sum_fp(a: fd.Fp2) -> fd.Fp2:
             a = fd.add((a[0][..., :half], a[1][..., :half]),
                        (a[0][..., half:], a[1][..., half:]))
             n = half
+        if barrier:
+            a = jax.lax.optimization_barrier(a)
     return (a[0][..., 0], a[1][..., 0])
 
 
@@ -503,20 +501,42 @@ def _tree_sum_ext3(a: fd.Ext3) -> fd.Ext3:
     return tuple(_tree_sum_fp(c) for c in a)
 
 
-def poly_eval_ext3_at_ext3(coeffs: fd.Ext3, z) -> fd.Ext3:
-    """Evaluate an Fq3-coefficient polynomial at an Fq3 scalar z on device.
+def _ext3_powers_device(base: fd.Ext3, n: int) -> fd.Ext3:
+    """[1, z, z^2, ..., z^(n-1)] by log-doubling (same shape as
+    _powers_device; lax.associative_scan's lowering is both fat and —
+    observed on this image — a flaky eager-compile path on XLA:CPU)."""
+    one = ((jnp.ones((1,), fd.U32), jnp.zeros((1,), fd.U32)),
+           (jnp.zeros((1,), fd.U32), jnp.zeros((1,), fd.U32)),
+           (jnp.zeros((1,), fd.U32), jnp.zeros((1,), fd.U32)))
+    if n == 1:
+        return one
+    out = one
+    step = tuple((c[0].reshape(1), c[1].reshape(1)) for c in base)
+    k = 1
+    while k < n:
+        take = min(k, n - k)
+        chunk = tuple((c[0][:take], c[1][:take]) for c in out)
+        stepb = tuple((jnp.broadcast_to(c[0], (take,)),
+                       jnp.broadcast_to(c[1], (take,))) for c in step)
+        nxt = fd.ext3_mul(chunk, stepb)
+        out = jax.lax.optimization_barrier(tuple(
+            (jnp.concatenate([o[0], x[0]]), jnp.concatenate([o[1], x[1]]))
+            for o, x in zip(out, nxt)))
+        if 2 * k < n:
+            step = fd.ext3_mul(step, step)
+        k *= 2
+    return out
 
-    z powers are built with an associative scan in the extension field."""
+
+def poly_eval_ext3_at_ext3(coeffs: fd.Ext3, z) -> fd.Ext3:
+    """Evaluate an Fq3-coefficient polynomial at an Fq3 scalar z on device."""
     n = coeffs[0][0].shape[-1]
-    zc = tuple(fd.full((n,), c) for c in z)  # broadcast z to length n
-    # turn position 0 into one
-    zc = (
-        (zc[0][0].at[0].set(1), zc[0][1].at[0].set(0)),
-        (zc[1][0].at[0].set(0), zc[1][1].at[0].set(0)),
-        (zc[2][0].at[0].set(0), zc[2][1].at[0].set(0)),
-    )
-    zp = jax.lax.associative_scan(lambda x, y: fd.ext3_mul(tuple(x), tuple(y)), zc)
-    terms = fd.ext3_mul(coeffs, tuple(zp))
+    zdev = tuple(
+        (jnp.asarray(np.uint32(int(c) & 0xFFFFFFFF)).reshape(1),
+         jnp.asarray(np.uint32(int(c) >> 32)).reshape(1))
+        for c in z)
+    zp = _ext3_powers_device(zdev, n)
+    terms = fd.ext3_mul(coeffs, zp)
     return _tree_sum_ext3(terms)
 
 

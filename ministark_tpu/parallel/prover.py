@@ -29,9 +29,14 @@ from ..matrix import Matrix, MatrixExt3
 
 
 def _shard_matrix(m, mesh: Mesh, axis: str):
-    """Column-shard a Matrix/MatrixExt3 over `axis` (uneven ncols is fine —
-    GSPMD pads internally)."""
-    sh = NamedSharding(mesh, PSpec(axis, None))
+    """Shard a Matrix/MatrixExt3 over `axis`: on columns when the width
+    divides the mesh (the zero-comms layout for the transforms), else on the
+    domain axis (always a power of two >= mesh size) — device_put requires
+    evenly divisible dimensions."""
+    d = mesh.devices.size
+    ncols = m.num_cols
+    spec = (PSpec(axis, None) if ncols % d == 0 else PSpec(None, axis))
+    sh = NamedSharding(mesh, spec)
 
     def put(x):
         return jax.device_put(x, sh)

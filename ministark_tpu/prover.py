@@ -207,6 +207,9 @@ def default_prove(stark, options: ProofOptions, witness, validate: bool = False)
             air, base_lde, ext_lde, comp_lde,
             base_tree, ext_tree, comp_tree, query_positions)
 
+    from .utils.timer import stop_trace
+    stop_trace()  # no-op unless MINISTARK_TPU_PROFILE is set
+
     return Proof(
         options=options,
         trace_len=air.trace_len,

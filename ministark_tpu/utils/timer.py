@@ -1,11 +1,39 @@
-"""Phase timing (reference uses RAII println timers, src/utils.rs:32-51).
+"""Phase timing + profiling (reference uses RAII println timers,
+src/utils.rs:32-51, plus Metal debug capture labels, gpu/src/plan.rs:58-59).
 
-Set MINISTARK_TPU_TIMERS=0 to silence."""
+* Set MINISTARK_TPU_TIMERS=0 to silence the phase prints.
+* Set MINISTARK_TPU_PROFILE=<dir> to wrap each prover phase in a named
+  `jax.profiler.TraceAnnotation` and capture a full device trace into <dir>
+  for the first prove of the process (open with TensorBoard / xprof — the
+  TPU analogue of Xcode GPU capture).
+"""
 
 from __future__ import annotations
 
 import os
 import time
+
+_PROFILE_DIR = os.environ.get("MINISTARK_TPU_PROFILE")
+_trace_started = False
+
+
+def _maybe_start_trace():
+    global _trace_started
+    if _PROFILE_DIR and not _trace_started:
+        import jax
+
+        jax.profiler.start_trace(_PROFILE_DIR)
+        _trace_started = True
+
+
+def stop_trace():
+    """Finish the device trace (called at the end of default_prove)."""
+    global _trace_started
+    if _trace_started:
+        import jax
+
+        jax.profiler.stop_trace()
+        _trace_started = False
 
 
 class Timer:
@@ -13,12 +41,22 @@ class Timer:
 
     def __init__(self, name: str):
         self.name = name
+        self._annotation = None
 
     def __enter__(self):
+        if _PROFILE_DIR:
+            import jax
+
+            _maybe_start_trace()
+            self._annotation = jax.profiler.TraceAnnotation(self.name)
+            self._annotation.__enter__()
         self.start = time.perf_counter()
         return self
 
     def __exit__(self, *exc):
+        if self._annotation is not None:
+            self._annotation.__exit__(*exc)
+            self._annotation = None
         if Timer.enabled:
             dt = time.perf_counter() - self.start
             print(f"{self.name}: {dt * 1000:.1f}ms", flush=True)
