@@ -23,3 +23,21 @@ os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_ms_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def no_persistent_cache():
+    """Block persistent-cache WRITES for interpret-mode Pallas tests: their
+    executables embed process-local callbacks, so entries can never hit
+    across processes — and (de)serializing some of them SEGFAULTS this
+    image's XLA:CPU (observed in both the write and a later read of a
+    written entry).  Reads stay enabled so benign sub-programs (domain
+    transforms, hash kernels) still come from the warm cache."""
+    import jax
+
+    old = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    yield
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", old)

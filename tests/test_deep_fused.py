@@ -33,7 +33,7 @@ def _rand_matrix_ext3(rng, ncols, n):
 
 
 @pytest.mark.slow
-def test_deep_fused_base_matches_chunked(monkeypatch):
+def test_deep_fused_base_matches_chunked(monkeypatch, no_persistent_cache):
     from ministark_tpu.models.fib import FibAirConfig
 
     trace_len = 512
@@ -75,7 +75,7 @@ class TinyExtConfig:
 
 
 @pytest.mark.slow
-def test_deep_fused_ext_matches_chunked(monkeypatch):
+def test_deep_fused_ext_matches_chunked(monkeypatch, no_persistent_cache):
     trace_len = 512
     opts = ProofOptions(8, 8, 0, 8, 64)
     air = Air(TinyExtConfig, trace_len, Fp(0), opts)

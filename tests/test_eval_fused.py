@@ -15,7 +15,7 @@ from ministark_tpu.models.fib import FibAirConfig
 
 
 @pytest.mark.slow
-def test_fused_matches_per_term(monkeypatch):
+def test_fused_matches_per_term(monkeypatch, no_persistent_cache):
     trace_len = 4096  # smallest CE size the fused path accepts (512*8)
     opts = ProofOptions(8, 4, 0, 8, 64)
     air = Air(FibAirConfig, trace_len, Fp(7), opts)
@@ -37,7 +37,7 @@ def test_fused_matches_per_term(monkeypatch):
 
 
 @pytest.mark.slow
-def test_fused_matches_per_term_ext(monkeypatch):
+def test_fused_matches_per_term_ext(monkeypatch, no_persistent_cache):
     """Fq3 AIR with BASE-FIELD zerofier denominators: the fused plan types
     every inverse input as Ext3 while the denominator itself evaluates in
     Fp — the promotion in eval.run_denoms must keep the two in sync

@@ -58,9 +58,9 @@ def _proof_bytes(proof, fq):
 
 @pytest.mark.slow
 @pytest.mark.parametrize("fq_is_ext", [False, True])
-def test_fused_layers_match_host(monkeypatch, fq_is_ext):
+def test_fused_layers_match_host(monkeypatch, no_persistent_cache, fq_is_ext):
     rng = np.random.default_rng(5)
-    n, N = 1 << 10, 4
+    n, N = 1 << 9, 4  # 2 layers (512->128->64); interpret mode costs ~linear in n
     opts = FriOptions(folding_factor=N, max_remainder_coeffs=16,
                       blowup_factor=4)
     if fq_is_ext:
@@ -96,7 +96,7 @@ def test_fused_layers_match_host(monkeypatch, fq_is_ext):
 
 
 @pytest.mark.slow
-def test_prove_lanes_interpret_matches(monkeypatch):
+def test_prove_lanes_interpret_matches(monkeypatch, no_persistent_cache):
     """Full fib prove through the lanes pipeline (fused commits, fused FRI
     layers, bundled decommits) must produce byte-identical proofs to the
     host path."""
@@ -118,14 +118,15 @@ def test_prove_lanes_interpret_matches(monkeypatch):
 
 
 @pytest.mark.slow
-def test_comp_commit_program_ext_matches(monkeypatch):
+def test_comp_commit_program_ext_matches(monkeypatch, no_persistent_cache):
     """The fused composition-commit program (Fq3 path) must match the eager
     ifft/split/evaluate/commit pipeline.
 
-    The persistent compilation cache is disabled here: serializing THIS
-    executable segfaults XLA:CPU inside the cache write (observed on the
-    2025-era jaxlib in this image) — the kernel itself runs fine."""
-    import jax
+    The persistent compilation cache is fully disconnected here (dir=None +
+    cache-object reset): (de)serializing THIS executable segfaults XLA:CPU in
+    both the cache write AND a later cache read (observed on this image's
+    jaxlib) — the kernel itself runs fine.  `jax_enable_compilation_cache`
+    alone is insufficient: reads are gated only on the cache object."""
     import jax.numpy as jnp
 
     from ministark_tpu.fields.scalar import GENERATOR
@@ -133,12 +134,8 @@ def test_comp_commit_program_ext_matches(monkeypatch):
     from ministark_tpu.ntt import Domain
     from ministark_tpu.prover import _comp_commit_program
 
-    jax.config.update("jax_enable_compilation_cache", False)
-    try:
-        _comp_commit_body(jnp, GENERATOR, MatrixExt3, Domain,
-                          _comp_commit_program)
-    finally:
-        jax.config.update("jax_enable_compilation_cache", True)
+    _comp_commit_body(jnp, GENERATOR, MatrixExt3, Domain,
+                      _comp_commit_program)
 
 
 def _comp_commit_body(jnp, GENERATOR, MatrixExt3, Domain,
@@ -173,11 +170,11 @@ def _comp_commit_body(jnp, GENERATOR, MatrixExt3, Domain,
         assert fd.to_ints(e[k]) == fd.to_ints(lde_arrays[k])
 
 
-def test_fused_commit_matches_host(monkeypatch):
+def test_fused_commit_matches_host(monkeypatch, no_persistent_cache):
     rng = np.random.default_rng(6)
     import jax.numpy as jnp
 
-    n, ncols = 1 << 10, 4
+    n, ncols = 1 << 9, 4
     lo, hi = fd.pack_np(rng.integers(0, P, (ncols, n), dtype=np.uint64))
     lo, hi = jnp.asarray(lo), jnp.asarray(hi)
 
@@ -185,7 +182,7 @@ def test_fused_commit_matches_host(monkeypatch):
     monkeypatch.setenv("MINISTARK_TPU_LANES", "interpret")
     t2 = merkle.commit_matrix_fp(lo, hi)
     assert t1.root() == t2.root()
-    idx = [0, 3, 5, 1000]
+    idx = [0, 3, 5, 500]
     assert t1.prove(idx).nodes == t2.prove(idx).nodes
 
     c0 = (lo, hi)

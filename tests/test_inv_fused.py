@@ -9,7 +9,7 @@ from ministark_tpu.ops.inv_pallas import inv_ext3_pallas, inv_fp_pallas
 
 
 @pytest.mark.slow
-def test_inv_fp_pallas_matches_scan():
+def test_inv_fp_pallas_matches_scan(no_persistent_cache):
     import jax.numpy as jnp
 
     rng = np.random.default_rng(7)
@@ -25,7 +25,7 @@ def test_inv_fp_pallas_matches_scan():
 
 
 @pytest.mark.slow
-def test_inv_ext3_pallas_matches_scan():
+def test_inv_ext3_pallas_matches_scan(no_persistent_cache):
     import jax.numpy as jnp
 
     rng = np.random.default_rng(8)
