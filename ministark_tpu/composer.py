@@ -65,9 +65,16 @@ def fq3_to_device_scalar(v: Fq3) -> fd.Ext3:
 # shape signature.  OOD points enter as traced inputs: a new transcript never
 # recompiles.
 
-@functools.lru_cache(maxsize=None)
 def _ood_program(n: int, nb: int, ne: int, nc: int, npts: int,
                  fq_is_ext: bool):
+    from . import runtime
+
+    return _ood_program_impl(n, nb, ne, nc, npts, fq_is_ext, runtime.spmd())
+
+
+@functools.lru_cache(maxsize=None)
+def _ood_program_impl(n: int, nb: int, ne: int, nc: int, npts: int,
+                      fq_is_ext: bool, _spmd: bool):
     """Returns a compiled-on-first-use jitted fn.
 
     Inputs (fq_is_ext=True):
@@ -301,8 +308,10 @@ class DeepPolyComposer:
         col_plan = tuple((col, off) for (col, off, _y) in trace_pts)
 
         import os as _os
-        use_fused = (jax.default_backend() != "cpu"
-                     or _os.environ.get("MINISTARK_TPU_FUSED_DEEP") == "interpret")
+        from . import runtime
+        use_fused = ((jax.default_backend() != "cpu"
+                      or _os.environ.get("MINISTARK_TPU_FUSED_DEEP") == "interpret")
+                     and not runtime.spmd())
         if use_fused and n % (512 * 8) == 0:
             return self._deep_lde_fused(
                 coeffs, interpret=jax.default_backend() == "cpu")

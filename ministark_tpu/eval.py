@@ -333,11 +333,12 @@ def eval_composition(
     # ALL denominator inverses in ONE jitted dispatch; the jit wrapper is
     # cached by AIR/shape signature so re-proving (or proving again with a
     # fresh Air of the same config+size) never re-traces or recompiles.
+    from . import runtime as _rt2
     air_sig = (type(air.config).__qualname__
                if not isinstance(air.config, type)
                else air.config.__qualname__,
                air.trace_len, air.ce_blowup_factor, n, fq_is_ext,
-               tuple(sorted(denom_by_key)))
+               tuple(sorted(denom_by_key)), _rt2.spmd())
     if air_sig not in _DENOM_JIT_CACHE:
         denom_items = tuple(sorted(denom_by_key.items()))
         trace_len = air.trace_len
@@ -369,8 +370,10 @@ def eval_composition(
     # keeps per-term XLA jits.
     import os as _os
 
-    use_fused = (jax.default_backend() != "cpu"
-                 or _os.environ.get("MINISTARK_TPU_FUSED_EVAL") == "interpret")
+    from . import runtime as _rt
+    use_fused = ((jax.default_backend() != "cpu"
+                  or _os.environ.get("MINISTARK_TPU_FUSED_EVAL") == "interpret")
+                 and not _rt.spmd())
     if use_fused and n % (512 * 8) == 0:
         from .ops.eval_pallas import eval_composition_fused
 

@@ -353,6 +353,9 @@ def _pallas_inv_mode(shape):
 
     if not inv_pallas.eligible(shape):
         return None
+    from .. import runtime
+    if runtime.spmd():
+        return None
     if jax.default_backend() != "cpu":
         return "run"
     if os.environ.get("MINISTARK_TPU_FUSED_INV") == "interpret":

@@ -50,7 +50,14 @@ class MerkleView:
 
 def _lanes_mode():
     """'run' (TPU Pallas), 'interpret' (CPU test override via
-    MINISTARK_TPU_LANES=interpret), or None (host/XLA path)."""
+    MINISTARK_TPU_LANES=interpret), or None (host/XLA path).
+
+    SPMD mode (multi-chip prove) forces None: GSPMD cannot partition
+    pallas_call over mesh-sharded operands."""
+    from . import runtime
+
+    if runtime.spmd():
+        return None
     if jax.default_backend() != "cpu":
         return "run"
     if os.environ.get("MINISTARK_TPU_LANES") == "interpret":

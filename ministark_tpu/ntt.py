@@ -199,7 +199,10 @@ def _sixstep_twiddle_cached(n: int, root: int):
 
 
 def _use_pallas(n: int) -> bool:
-    return (jax.default_backend() != "cpu") and n >= _SIX_STEP_MIN
+    from . import runtime
+
+    return (jax.default_backend() != "cpu" and n >= _SIX_STEP_MIN
+            and not runtime.spmd())
 
 
 def _ntt_sixstep_pallas_fp(x2: fd.Fp2, n: int, root: int, tmat) -> fd.Fp2:
@@ -291,8 +294,14 @@ def _ntt_core_ext3(a: fd.Ext3, tw: fd.Fp2, n: int, tmat, root=None) -> fd.Ext3:
 # evaluation domain
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=None)
 def _jitted_transform(kind: str, size: int, offset: int):
+    from . import runtime
+
+    return _jitted_transform_impl(kind, size, offset, runtime.spmd())
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_transform_impl(kind: str, size: int, offset: int, _spmd: bool):
     """Per-(domain, transform) jitted callables, shared across Domain
     instances.  Twiddle/scale tables are passed as runtime ARGUMENTS — baking
     them in as constants bloats the HLO with multi-megabyte literals that

@@ -74,6 +74,15 @@ def _comp_commit_program(trace_len: int, cb: int, ce_dom, lde_dom,
 
 
 def default_prove(stark, options: ProofOptions, witness, validate: bool = False) -> Proof:
+    from .utils.timer import stop_trace
+
+    try:
+        return _default_prove(stark, options, witness, validate)
+    finally:
+        stop_trace()  # no-op unless MINISTARK_TPU_PROFILE is set
+
+
+def _default_prove(stark, options: ProofOptions, witness, validate: bool) -> Proof:
     fq_is_ext = stark.fq is Fq3
     from . import hash as H
     hashfn = getattr(stark, "merkle_hash", H)  # MerkleTree assoc type analogue
@@ -206,9 +215,6 @@ def default_prove(stark, options: ProofOptions, witness, validate: bool = False)
         queries = build_queries(
             air, base_lde, ext_lde, comp_lde,
             base_tree, ext_tree, comp_tree, query_positions)
-
-    from .utils.timer import stop_trace
-    stop_trace()  # no-op unless MINISTARK_TPU_PROFILE is set
 
     return Proof(
         options=options,

@@ -3,9 +3,10 @@ src/utils.rs:32-51, plus Metal debug capture labels, gpu/src/plan.rs:58-59).
 
 * Set MINISTARK_TPU_TIMERS=0 to silence the phase prints.
 * Set MINISTARK_TPU_PROFILE=<dir> to wrap each prover phase in a named
-  `jax.profiler.TraceAnnotation` and capture a full device trace into <dir>
-  for the first prove of the process (open with TensorBoard / xprof — the
-  TPU analogue of Xcode GPU capture).
+  `jax.profiler.TraceAnnotation` and capture a device trace into <dir> per
+  prove — started at the first phase, stopped when default_prove returns
+  (error paths included).  Open with TensorBoard / xprof; the TPU analogue
+  of Xcode GPU capture.
 """
 
 from __future__ import annotations

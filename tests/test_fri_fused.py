@@ -122,11 +122,9 @@ def test_comp_commit_program_ext_matches(monkeypatch, no_persistent_cache):
     """The fused composition-commit program (Fq3 path) must match the eager
     ifft/split/evaluate/commit pipeline.
 
-    The persistent compilation cache is fully disconnected here (dir=None +
-    cache-object reset): (de)serializing THIS executable segfaults XLA:CPU in
-    both the cache write AND a later cache read (observed on this image's
-    jaxlib) — the kernel itself runs fine.  `jax_enable_compilation_cache`
-    alone is insufficient: reads are gated only on the cache object."""
+    Cache writes are blocked by the fixture: (de)serializing THIS executable
+    segfaults XLA:CPU in both the cache write and a later cache read of a
+    written entry — the kernel itself runs fine."""
     import jax.numpy as jnp
 
     from ministark_tpu.fields.scalar import GENERATOR
@@ -134,12 +132,6 @@ def test_comp_commit_program_ext_matches(monkeypatch, no_persistent_cache):
     from ministark_tpu.ntt import Domain
     from ministark_tpu.prover import _comp_commit_program
 
-    _comp_commit_body(jnp, GENERATOR, MatrixExt3, Domain,
-                      _comp_commit_program)
-
-
-def _comp_commit_body(jnp, GENERATOR, MatrixExt3, Domain,
-                      _comp_commit_program):
     rng = np.random.default_rng(9)
     trace_len, cb, blowup = 64, 2, 4
     ce_dom = Domain(trace_len * cb, GENERATOR)
