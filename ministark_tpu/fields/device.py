@@ -225,6 +225,54 @@ def mul(a: Fp2, b: Fp2) -> Fp2:
     return reduce128(*mul64_wide(a, b))
 
 
+# ---------------------------------------------------------------------------
+# lazy ops: values are mod-p REPRESENTATIVES in [0, 2^64), not canonical.
+# Hot kernels (ops/ntt_pallas.py) chain these across butterfly stages and
+# canonicalize once on the way out — saving the compare+select canonical
+# reduction per op (~20% of the butterfly's VPU work).
+# ---------------------------------------------------------------------------
+
+def add_lazy(a: Fp2, b: Fp2) -> Fp2:
+    """a + b mod p as a u64 representative (inputs: any u64 representatives).
+
+    A carry means +2^64 == +EPS (mod p); when the carry is set the wrapped
+    sum is <= 2^64-2 so adding EPS cannot re-carry."""
+    s, c = add64(a, b)
+    s2, _ = add64(s, (c * EPS, jnp.zeros_like(c)))
+    return s2
+
+
+def sub_lazy(a: Fp2, b: Fp2) -> Fp2:
+    """a - b mod p as a u64 representative.
+
+    A borrow means -2^64 == -EPS (mod p); the first correction can re-borrow
+    only when the wrapped difference was < EPS, in which case the second
+    correction's operand is >= 2^64 - EPS and cannot borrow again."""
+    d, br = sub64(a, b)
+    d2, br2 = sub64(d, (br * EPS, jnp.zeros_like(br)))
+    d3, _ = sub64(d2, (br2 * EPS, jnp.zeros_like(br2)))
+    return d3
+
+
+def reduce128_lazy(r0, r1, r2, r3) -> Fp2:
+    """reduce128 without the final canonical fold: output in [0, 2^64)."""
+    n0 = (r0, r1)
+    n1_lo = r2
+    n1_hi = r3
+    t, br = sub64(n0, (n1_hi, jnp.zeros_like(n1_hi)))
+    t, _ = sub64(t, (br * EPS, jnp.zeros_like(br)))
+    u_lo, ub = _sub32b(jnp.zeros_like(n1_lo), n1_lo)
+    u_hi = n1_lo - ub
+    res, c = add64(t, (u_lo, u_hi))
+    res, _ = add64(res, (c * EPS, jnp.zeros_like(c)))
+    return res
+
+
+def mul_lazy(a: Fp2, b: Fp2) -> Fp2:
+    """a * b mod p as a u64 representative (inputs: any u64 representatives)."""
+    return reduce128_lazy(*mul64_wide(a, b))
+
+
 def sqr(a: Fp2) -> Fp2:
     return mul(a, a)
 

@@ -107,8 +107,41 @@ def _col_ntt_kernel(x_lo_ref, x_hi_ref, tw_lo_ref, tw_hi_ref,
     o_hi_ref[:] = out[1]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def col_ntt(x, tw_stages, tmat=None, interpret=False):
+def _col_ntt_kernel_unrolled(x_lo_ref, x_hi_ref, tw_lo_ref, tw_hi_ref,
+                             tm_lo_ref, tm_hi_ref, o_lo_ref, o_hi_ref,
+                             *, n1, with_tmat):
+    """All log2(n1) stages unrolled in one grid step: static roll shifts
+    (dynamic sublane rolls lower to much slower Mosaic code) and LAZY field
+    arithmetic — butterfly values stay mod-p representatives in [0, 2^64)
+    across stages and are canonicalized once on the way out.
+
+    z = T * x is computed on every row; a pair's rows share the same T, so
+    the lo-row's butterfly term T*x[r+half] is just z rolled by -half:
+        out[r] = is_lo ? x[r] + z[r+half] : x[r-half] - z[r]
+    """
+    log_n = n1.bit_length() - 1
+    tile = x_lo_ref.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.uint32, (n1, tile), 0)
+    x = (x_lo_ref[:], x_hi_ref[:])
+    for s in range(log_n):
+        half = 1 << s
+        is_lo = (rows & jnp.uint32(half)) == 0
+        T = (tw_lo_ref[s].reshape(n1, 1), tw_hi_ref[s].reshape(n1, 1))
+        z = fd.mul_lazy(T, x)
+        zp = (pltpu.roll(z[0], n1 - half, axis=0),
+              pltpu.roll(z[1], n1 - half, axis=0))
+        xm = (pltpu.roll(x[0], half, axis=0),
+              pltpu.roll(x[1], half, axis=0))
+        x = fd.select(is_lo, fd.add_lazy(x, zp), fd.sub_lazy(xm, z))
+    if with_tmat:
+        x = fd.mul_lazy(x, (tm_lo_ref[:], tm_hi_ref[:]))
+    x = fd.canonicalize(x)
+    o_lo_ref[:] = x[0]
+    o_hi_ref[:] = x[1]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "unrolled"))
+def col_ntt(x, tw_stages, tmat=None, interpret=False, unrolled=True):
     """Column NTT over axis 0 of (n1, n2) limb pairs.
 
     `x` must already be bit-reversed along axis 0; `tw_stages` = per-stage
@@ -123,14 +156,25 @@ def col_ntt(x, tw_stages, tmat=None, interpret=False):
         tmat = (jnp.zeros((8, 128), fd.U32), jnp.zeros((8, 128), fd.U32))
 
     log_n = n1.bit_length() - 1
-    grid = (n2 // tile, log_n)
-    xspec = pl.BlockSpec((n1, tile), lambda j, s: (0, j), memory_space=pltpu.VMEM)
-    tmspec = (pl.BlockSpec((n1, tile), lambda j, s: (0, j), memory_space=pltpu.VMEM)
-              if with_tmat else
-              pl.BlockSpec((8, 128), lambda j, s: (0, 0), memory_space=pltpu.VMEM))
-    twspec = pl.BlockSpec((1, n1, 1), lambda j, s: (s, 0, 0),
-                          memory_space=pltpu.VMEM)
-    kernel = functools.partial(_col_ntt_kernel, n1=n1, with_tmat=with_tmat)
+    if unrolled:
+        grid = (n2 // tile,)
+        xspec = pl.BlockSpec((n1, tile), lambda j: (0, j), memory_space=pltpu.VMEM)
+        tmspec = (pl.BlockSpec((n1, tile), lambda j: (0, j), memory_space=pltpu.VMEM)
+                  if with_tmat else
+                  pl.BlockSpec((8, 128), lambda j: (0, 0), memory_space=pltpu.VMEM))
+        twspec = pl.BlockSpec((log_n, n1, 1), lambda j: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        kernel = functools.partial(_col_ntt_kernel_unrolled, n1=n1,
+                                   with_tmat=with_tmat)
+    else:
+        grid = (n2 // tile, log_n)
+        xspec = pl.BlockSpec((n1, tile), lambda j, s: (0, j), memory_space=pltpu.VMEM)
+        tmspec = (pl.BlockSpec((n1, tile), lambda j, s: (0, j), memory_space=pltpu.VMEM)
+                  if with_tmat else
+                  pl.BlockSpec((8, 128), lambda j, s: (0, 0), memory_space=pltpu.VMEM))
+        twspec = pl.BlockSpec((1, n1, 1), lambda j, s: (s, 0, 0),
+                              memory_space=pltpu.VMEM)
+        kernel = functools.partial(_col_ntt_kernel, n1=n1, with_tmat=with_tmat)
     out = pl.pallas_call(
         kernel,
         grid=grid,
