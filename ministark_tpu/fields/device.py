@@ -104,17 +104,21 @@ def eq64(a: Fp2, b: Fp2):
 
 
 def mul32_wide(a, b):
-    """32x32 -> 64-bit product as (lo, hi) uint32, via 16-bit halves."""
+    """32x32 -> 64-bit product as (lo, hi) uint32, via 16-bit halves.
+
+    The low word comes from the native wrapping u32 multiply (one VPU op);
+    only the carry of ll + (mid << 16) must be reconstructed: with
+    t = mid << 16, the wrapped sum lo = ll + t carried iff lo < t."""
     al = a & MASK16
     ah = a >> 16
     bl = b & MASK16
     bh = b >> 16
-    ll = al * bl
     lh = al * bh
     hl = ah * bl
     hh = ah * bh
     mid, cm = _add32c(lh, hl)  # <= 2^33 - ..., carry tracked
-    lo, cl = _add32c(ll, mid << 16)
+    lo = a * b
+    cl = (lo < (mid << 16)).astype(U32)
     hi = hh + (mid >> 16) + (cm << 16) + cl
     return lo, hi
 

@@ -198,6 +198,30 @@ def _sixstep_twiddle_cached(n: int, root: int):
     return jax.tree.map(jax.block_until_ready, out)
 
 
+@functools.lru_cache(maxsize=64)
+def _scale_brv_cached(n: int, offset: int):
+    """offset^j1n2+j2 reshaped (n1, n2) with rows bit-reverse-permuted —
+    the layout the first six-step kernel sees after its input bitrev."""
+    n1, n2 = _split_n(n)
+    tbl = powers(offset, n)
+    m = (tbl[0].reshape(n1, n2), tbl[1].reshape(n1, n2))
+    m = _bitrev_axis0(m, n1)
+    return jax.tree.map(jax.block_until_ready, m)
+
+
+@functools.lru_cache(maxsize=64)
+def _ipost_cached(n: int, offset: int):
+    """size_inv * offset_inv^i, flat (n,) device table."""
+    size_inv = pow(n, P - 2, P)
+    if offset == 1:
+        out = fd.full((n,), size_inv)
+    else:
+        offset_inv = pow(offset % P, P - 2, P)
+        tbl = powers(offset_inv, n)
+        out = fd.mul(tbl, fd.full((n,), size_inv))
+    return jax.tree.map(jax.block_until_ready, out)
+
+
 def _use_pallas(n: int) -> bool:
     from . import runtime
 
@@ -205,8 +229,16 @@ def _use_pallas(n: int) -> bool:
             and not runtime.spmd())
 
 
-def _ntt_sixstep_pallas_fp(x2: fd.Fp2, n: int, root: int, tmat) -> fd.Fp2:
-    """Six-step NTT of one flat (n,) Fp vector via the fused column kernel."""
+def _ntt_sixstep_pallas_fp(x2: fd.Fp2, n: int, root: int, tmat,
+                           pre=None, post=None) -> fd.Fp2:
+    """Six-step NTT of one flat (n,) Fp vector via the fused column kernel.
+
+    `pre` = bitrev-row-permuted (n1, n2) coset-scale matrix folded into the
+    first kernel's prologue; `post` = flat (n,) elementwise factor (1/n and
+    inverse-coset powers for the iNTT) folded into the second kernel's
+    epilogue slot.  The first kernel emits lazy mod-p representatives — the
+    transpose/gather between the kernels is pure data movement and the
+    second kernel's arithmetic accepts representatives."""
     from .ops import ntt_pallas
 
     n1, n2 = _split_n(n)
@@ -214,18 +246,23 @@ def _ntt_sixstep_pallas_fp(x2: fd.Fp2, n: int, root: int, tmat) -> fd.Fp2:
     x = _bitrev_axis0(x, n1)
     tw1 = ntt_pallas.stage_twiddles(pow(root, n2, P), n1)
     tmat2 = (tmat[0].reshape(n1, n2), tmat[1].reshape(n1, n2))
-    x = ntt_pallas.col_ntt(x, tw1, tmat=tmat2)
+    x = ntt_pallas.col_ntt(x, tw1, tmat=tmat2, pre=pre, canon=False)
     x = (jnp.swapaxes(x[0], 0, 1), jnp.swapaxes(x[1], 0, 1))  # (n2, n1)
     x = _bitrev_axis0(x, n2)
     tw2 = ntt_pallas.stage_twiddles(pow(root, n1, P), n2)
-    x = ntt_pallas.col_ntt(x, tw2)
+    emat = (None if post is None else
+            (post[0].reshape(n2, n1), post[1].reshape(n2, n1)))
+    x = ntt_pallas.col_ntt(x, tw2, tmat=emat)
     return (x[0].reshape(n), x[1].reshape(n))
 
 
-def _ntt_core(a, tw: fd.Fp2, n: int, tmat, mul_tw, add_op, sub_op, root=None):
+def _ntt_core(a, tw: fd.Fp2, n: int, tmat, mul_tw, add_op, sub_op, root=None,
+              pre=None, post=None):
     """Natural-order in/out NTT.  `a` leaves shaped (..., n).  `tmat` is the
     (n1, n2) six-step twiddle matrix (unused placeholder for small n).
-    `root` (static int) enables the fused Pallas path on TPU."""
+    `root` (static int) enables the fused Pallas path on TPU; `pre`/`post`
+    are elementwise factors folded into that path's kernels (callers apply
+    them explicitly on the non-Pallas path)."""
     batch = jax.tree.leaves(a)[0].shape[:-1]
 
     if root is not None and _use_pallas(n):
@@ -236,13 +273,15 @@ def _ntt_core(a, tw: fd.Fp2, n: int, tmat, mul_tw, add_op, sub_op, root=None):
             if batch:
                 flat = (comp[0].reshape(-1, n), comp[1].reshape(-1, n))
                 outs = [
-                    _ntt_sixstep_pallas_fp((flat[0][i], flat[1][i]), n, root, tmat)
+                    _ntt_sixstep_pallas_fp((flat[0][i], flat[1][i]), n, root,
+                                           tmat, pre=pre, post=post)
                     for i in range(flat[0].shape[0])
                 ]
                 out = (jnp.stack([o[0] for o in outs]).reshape(*batch, n),
                        jnp.stack([o[1] for o in outs]).reshape(*batch, n))
             else:
-                out = _ntt_sixstep_pallas_fp(comp, n, root, tmat)
+                out = _ntt_sixstep_pallas_fp(comp, n, root, tmat,
+                                             pre=pre, post=post)
             out_comps.append(out)
         return tuple(out_comps) if isinstance(a[0], tuple) else out_comps[0]
 
@@ -282,12 +321,16 @@ def _ntt_core(a, tw: fd.Fp2, n: int, tmat, mul_tw, add_op, sub_op, root=None):
     return _tree_map(lambda t: t.reshape(*batch, n), x)
 
 
-def _ntt_core_fp(a: fd.Fp2, tw: fd.Fp2, n: int, tmat, root=None) -> fd.Fp2:
-    return _ntt_core(a, tw, n, tmat, _fp_mul_tw, fd.add, fd.sub, root)
+def _ntt_core_fp(a: fd.Fp2, tw: fd.Fp2, n: int, tmat, root=None,
+                 pre=None, post=None) -> fd.Fp2:
+    return _ntt_core(a, tw, n, tmat, _fp_mul_tw, fd.add, fd.sub, root,
+                     pre=pre, post=post)
 
 
-def _ntt_core_ext3(a: fd.Ext3, tw: fd.Fp2, n: int, tmat, root=None) -> fd.Ext3:
-    return _ntt_core(a, tw, n, tmat, _ext3_mul_tw, fd.ext3_add, fd.ext3_sub, root)
+def _ntt_core_ext3(a: fd.Ext3, tw: fd.Fp2, n: int, tmat, root=None,
+                   pre=None, post=None) -> fd.Ext3:
+    return _ntt_core(a, tw, n, tmat, _ext3_mul_tw, fd.ext3_add, fd.ext3_sub,
+                     root, pre=pre, post=post)
 
 
 # ---------------------------------------------------------------------------
@@ -351,11 +394,13 @@ class Domain:
     def fft_fp(self, coeffs: fd.Fp2) -> fd.Fp2:
         """coeffs (natural order) -> evals over the coset, natural order."""
         return _jitted_transform("fft_fp", self.size, self.offset)(
-            coeffs, self._fwd_tbl(), self._scale_tbl(), self._fwd_tmat())
+            coeffs, self._fwd_tbl(), self._scale_tbl(), self._fwd_tmat(),
+            self._scale_brv_tbl())
 
     def ifft_fp(self, evals: fd.Fp2) -> fd.Fp2:
         return _jitted_transform("ifft_fp", self.size, self.offset)(
-            evals, self._inv_tbl(), self._unscale_tbl(), self._inv_tmat())
+            evals, self._inv_tbl(), self._unscale_tbl(), self._inv_tmat(),
+            self._ipost_tbl())
 
     def fft_bitrev_fp(self, coeffs: fd.Fp2) -> fd.Fp2:
         """Evaluations in bit-reversed order (protocol commitment order)."""
@@ -363,45 +408,61 @@ class Domain:
 
     def fft_ext3(self, coeffs: fd.Ext3) -> fd.Ext3:
         return _jitted_transform("fft_ext3", self.size, self.offset)(
-            coeffs, self._fwd_tbl(), self._scale_tbl(), self._fwd_tmat())
+            coeffs, self._fwd_tbl(), self._scale_tbl(), self._fwd_tmat(),
+            self._scale_brv_tbl())
 
     def ifft_ext3(self, evals: fd.Ext3) -> fd.Ext3:
         return _jitted_transform("ifft_ext3", self.size, self.offset)(
-            evals, self._inv_tbl(), self._unscale_tbl(), self._inv_tmat())
+            evals, self._inv_tbl(), self._unscale_tbl(), self._inv_tmat(),
+            self._ipost_tbl())
 
     def fft_bitrev_ext3(self, coeffs: fd.Ext3) -> fd.Ext3:
         return bit_reverse_ext3(self.fft_ext3(coeffs))
 
     # -- implementations (traced under jit; tables are arguments) ------------
 
-    def _fft_fp_impl(self, coeffs: fd.Fp2, tw: fd.Fp2, scale: fd.Fp2, tmat) -> fd.Fp2:
+    def _fft_fp_impl(self, coeffs: fd.Fp2, tw: fd.Fp2, scale: fd.Fp2, tmat,
+                     scale_brv) -> fd.Fp2:
         n = self.size
         coeffs = _zero_pad_fp(coeffs, n)
-        if self.offset != 1:
+        fused = _use_pallas(n)
+        if self.offset != 1 and not fused:
             coeffs = fd.mul(coeffs, scale)
-        return _ntt_core_fp(coeffs, tw, n, tmat, self.group_gen)
+        pre = scale_brv if (fused and self.offset != 1) else None
+        return _ntt_core_fp(coeffs, tw, n, tmat, self.group_gen, pre=pre)
 
-    def _ifft_fp_impl(self, evals: fd.Fp2, tw: fd.Fp2, unscale: fd.Fp2, tmat) -> fd.Fp2:
+    def _ifft_fp_impl(self, evals: fd.Fp2, tw: fd.Fp2, unscale: fd.Fp2, tmat,
+                      post) -> fd.Fp2:
         n = self.size
-        out = _ntt_core_fp(evals, tw, n, tmat, self.group_gen_inv)
-        out = fd.mul(out, fd.full(out[0].shape, self.size_inv))
-        if self.offset != 1:
-            out = fd.mul(out, unscale)
+        fused = _use_pallas(n)
+        out = _ntt_core_fp(evals, tw, n, tmat, self.group_gen_inv,
+                           post=post if fused else None)
+        if not fused:
+            out = fd.mul(out, fd.full(out[0].shape, self.size_inv))
+            if self.offset != 1:
+                out = fd.mul(out, unscale)
         return out
 
-    def _fft_ext3_impl(self, coeffs: fd.Ext3, tw: fd.Fp2, scale: fd.Fp2, tmat) -> fd.Ext3:
+    def _fft_ext3_impl(self, coeffs: fd.Ext3, tw: fd.Fp2, scale: fd.Fp2, tmat,
+                       scale_brv) -> fd.Ext3:
         n = self.size
         coeffs = tuple(_zero_pad_fp(c, n) for c in coeffs)
-        if self.offset != 1:
+        fused = _use_pallas(n)
+        if self.offset != 1 and not fused:
             coeffs = fd.ext3_mul_base(coeffs, scale)
-        return _ntt_core_ext3(coeffs, tw, n, tmat, self.group_gen)
+        pre = scale_brv if (fused and self.offset != 1) else None
+        return _ntt_core_ext3(coeffs, tw, n, tmat, self.group_gen, pre=pre)
 
-    def _ifft_ext3_impl(self, evals: fd.Ext3, tw: fd.Fp2, unscale: fd.Fp2, tmat) -> fd.Ext3:
+    def _ifft_ext3_impl(self, evals: fd.Ext3, tw: fd.Fp2, unscale: fd.Fp2,
+                        tmat, post) -> fd.Ext3:
         n = self.size
-        out = _ntt_core_ext3(evals, tw, n, tmat, self.group_gen_inv)
-        out = fd.ext3_mul_base(out, fd.full(out[0][0].shape, self.size_inv))
-        if self.offset != 1:
-            out = fd.ext3_mul_base(out, unscale)
+        fused = _use_pallas(n)
+        out = _ntt_core_ext3(evals, tw, n, tmat, self.group_gen_inv,
+                             post=post if fused else None)
+        if not fused:
+            out = fd.ext3_mul_base(out, fd.full(out[0][0].shape, self.size_inv))
+            if self.offset != 1:
+                out = fd.ext3_mul_base(out, unscale)
         return out
 
     def _fwd_tbl(self) -> fd.Fp2:
@@ -431,6 +492,20 @@ class Domain:
         if self.offset == 1:
             return fd.ones((1,))
         return powers(self.offset_inv, self.size)
+
+    def _scale_brv_tbl(self) -> fd.Fp2:
+        """Coset-scale powers as a bitrev-row-permuted (n1, n2) matrix,
+        matching the first six-step kernel's post-bitrev prologue slot."""
+        if self.offset == 1 or self.size < _SIX_STEP_MIN:
+            return fd.ones((1,))
+        return _scale_brv_cached(self.size, self.offset)
+
+    def _ipost_tbl(self) -> fd.Fp2:
+        """(1/n) * offset_inv^i, flat (n,), folded into the second inverse
+        kernel's epilogue slot."""
+        if self.size < _SIX_STEP_MIN:
+            return fd.ones((1,))
+        return _ipost_cached(self.size, self.offset)
 
 
 # ---------------------------------------------------------------------------

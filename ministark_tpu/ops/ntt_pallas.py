@@ -66,7 +66,8 @@ def stage_twiddles(root: int, n1: int):
 
 
 def _col_ntt_kernel(x_lo_ref, x_hi_ref, tw_lo_ref, tw_hi_ref,
-                    tm_lo_ref, tm_hi_ref, o_lo_ref, o_hi_ref, *, n1, with_tmat):
+                    tm_lo_ref, tm_hi_ref, _pm_lo_ref, _pm_hi_ref,
+                    o_lo_ref, o_hi_ref, *, n1, with_tmat):
     """One butterfly stage per grid step along grid dim 1; the output block is
     revisited (sequential grid) so intermediate state lives in its VMEM
     block across stages."""
@@ -108,8 +109,9 @@ def _col_ntt_kernel(x_lo_ref, x_hi_ref, tw_lo_ref, tw_hi_ref,
 
 
 def _col_ntt_kernel_unrolled(x_lo_ref, x_hi_ref, tw_lo_ref, tw_hi_ref,
-                             tm_lo_ref, tm_hi_ref, o_lo_ref, o_hi_ref,
-                             *, n1, with_tmat):
+                             tm_lo_ref, tm_hi_ref, pm_lo_ref, pm_hi_ref,
+                             o_lo_ref, o_hi_ref, *, n1, with_tmat, with_pre,
+                             canon):
     """All log2(n1) stages unrolled in one grid step: static roll shifts
     (dynamic sublane rolls lower to much slower Mosaic code) and LAZY field
     arithmetic — butterfly values stay mod-p representatives in [0, 2^64)
@@ -118,11 +120,16 @@ def _col_ntt_kernel_unrolled(x_lo_ref, x_hi_ref, tw_lo_ref, tw_hi_ref,
     z = T * x is computed on every row; a pair's rows share the same T, so
     the lo-row's butterfly term T*x[r+half] is just z rolled by -half:
         out[r] = is_lo ? x[r] + z[r+half] : x[r-half] - z[r]
-    """
+
+    `with_pre` folds an elementwise scale (the coset offset powers) in as a
+    prologue; `canon=False` emits mod-p representatives (< 2^64) for
+    kernels whose consumer is itself lazy (the second six-step pass)."""
     log_n = n1.bit_length() - 1
     tile = x_lo_ref.shape[1]
     rows = jax.lax.broadcasted_iota(jnp.uint32, (n1, tile), 0)
     x = (x_lo_ref[:], x_hi_ref[:])
+    if with_pre:
+        x = fd.mul_lazy(x, (pm_lo_ref[:], pm_hi_ref[:]))
     for s in range(log_n):
         half = 1 << s
         is_lo = (rows & jnp.uint32(half)) == 0
@@ -135,25 +142,35 @@ def _col_ntt_kernel_unrolled(x_lo_ref, x_hi_ref, tw_lo_ref, tw_hi_ref,
         x = fd.select(is_lo, fd.add_lazy(x, zp), fd.sub_lazy(xm, z))
     if with_tmat:
         x = fd.mul_lazy(x, (tm_lo_ref[:], tm_hi_ref[:]))
-    x = fd.canonicalize(x)
+    if canon:
+        x = fd.canonicalize(x)
     o_lo_ref[:] = x[0]
     o_hi_ref[:] = x[1]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "unrolled"))
-def col_ntt(x, tw_stages, tmat=None, interpret=False, unrolled=True):
+@functools.partial(jax.jit, static_argnames=("interpret", "unrolled", "canon"))
+def col_ntt(x, tw_stages, tmat=None, pre=None, interpret=False, unrolled=True,
+            canon=True):
     """Column NTT over axis 0 of (n1, n2) limb pairs.
 
     `x` must already be bit-reversed along axis 0; `tw_stages` = per-stage
     twiddle vectors from `stage_twiddles`; `tmat` (optional) = (n1, n2)
-    six-step twiddle matrix folded into the output."""
+    six-step twiddle matrix folded into the output; `pre` (optional) =
+    (n1, n2) elementwise scale applied before the stages (coset offsets).
+    Inputs may be mod-p representatives in [0, 2^64); `canon=False` keeps
+    the output in representative form too (unrolled path only)."""
     n1, n2 = x[0].shape
     tile = min(TILE, n2)
     assert n2 % tile == 0
     with_tmat = tmat is not None
+    with_pre = pre is not None
+    assert canon or unrolled
+    assert pre is None or unrolled
+    dummy = (jnp.zeros((8, 128), fd.U32), jnp.zeros((8, 128), fd.U32))
     if tmat is None:
-        # tiny dummy operand (never read)
-        tmat = (jnp.zeros((8, 128), fd.U32), jnp.zeros((8, 128), fd.U32))
+        tmat = dummy  # tiny dummy operand (never read)
+    if pre is None:
+        pre = dummy
 
     log_n = n1.bit_length() - 1
     if unrolled:
@@ -164,8 +181,12 @@ def col_ntt(x, tw_stages, tmat=None, interpret=False, unrolled=True):
                   pl.BlockSpec((8, 128), lambda j: (0, 0), memory_space=pltpu.VMEM))
         twspec = pl.BlockSpec((log_n, n1, 1), lambda j: (0, 0, 0),
                               memory_space=pltpu.VMEM)
+        pmspec = (pl.BlockSpec((n1, tile), lambda j: (0, j), memory_space=pltpu.VMEM)
+                  if with_pre else
+                  pl.BlockSpec((8, 128), lambda j: (0, 0), memory_space=pltpu.VMEM))
         kernel = functools.partial(_col_ntt_kernel_unrolled, n1=n1,
-                                   with_tmat=with_tmat)
+                                   with_tmat=with_tmat, with_pre=with_pre,
+                                   canon=canon)
     else:
         grid = (n2 // tile, log_n)
         xspec = pl.BlockSpec((n1, tile), lambda j, s: (0, j), memory_space=pltpu.VMEM)
@@ -174,16 +195,20 @@ def col_ntt(x, tw_stages, tmat=None, interpret=False, unrolled=True):
                   pl.BlockSpec((8, 128), lambda j, s: (0, 0), memory_space=pltpu.VMEM))
         twspec = pl.BlockSpec((1, n1, 1), lambda j, s: (s, 0, 0),
                               memory_space=pltpu.VMEM)
+        pmspec = pl.BlockSpec((8, 128), lambda j, s: (0, 0),
+                              memory_space=pltpu.VMEM)
         kernel = functools.partial(_col_ntt_kernel, n1=n1, with_tmat=with_tmat)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[xspec, xspec, twspec, twspec, tmspec, tmspec],
+        in_specs=[xspec, xspec, twspec, twspec, tmspec, tmspec,
+                  pmspec, pmspec],
         out_specs=(xspec, xspec),
         out_shape=(jax.ShapeDtypeStruct((n1, n2), jnp.uint32),
                    jax.ShapeDtypeStruct((n1, n2), jnp.uint32)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x[0], x[1], tw_stages[0], tw_stages[1], tmat[0], tmat[1])
+    )(x[0], x[1], tw_stages[0], tw_stages[1], tmat[0], tmat[1],
+      pre[0], pre[1])
     return out
