@@ -239,11 +239,14 @@ def mul(a: Fp2, b: Fp2) -> Fp2:
 def add_lazy(a: Fp2, b: Fp2) -> Fp2:
     """a + b mod p as a u64 representative (inputs: any u64 representatives).
 
-    A carry means +2^64 == +EPS (mod p); when the carry is set the wrapped
-    sum is <= 2^64-2 so adding EPS cannot re-carry."""
+    A carry means +2^64 == +EPS (mod p).  The EPS fold can itself carry
+    (wrapped sum s <= 2^64-2, so s+EPS wraps when s >= 2^64-EPS); when it
+    does, the re-wrapped value is < EPS so folding EPS once more cannot
+    carry a third time."""
     s, c = add64(a, b)
-    s2, _ = add64(s, (c * EPS, jnp.zeros_like(c)))
-    return s2
+    s2, c2 = add64(s, (c * EPS, jnp.zeros_like(c)))
+    s3, _ = add64(s2, (c2 * EPS, jnp.zeros_like(c2)))
+    return s3
 
 
 def sub_lazy(a: Fp2, b: Fp2) -> Fp2:

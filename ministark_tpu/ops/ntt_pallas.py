@@ -6,14 +6,26 @@ of passes.  This kernel performs ALL log2(n1) butterfly stages of a column
 transform inside VMEM: one read + one write of the data per kernel, with the
 optional six-step twiddle fold applied in the epilogue.
 
-Kernel shape rules learned the hard way:
-  * strided twiddle slices lower to unsupported gathers -> per-stage twiddle
-    VECTORS (log2(n1), n1) are precomputed host-side;
-  * an unrolled python stage loop stacks every temporary on the Mosaic VMEM
-    stack (OOM at 2048 rows) -> stages run under `fori_loop` with same-shape
-    roll/select butterflies:
+Two kernel variants:
+  * `_col_ntt_kernel_unrolled` (default) — all log2(n1) stages unrolled as a
+    Python loop in ONE grid step, using LAZY field arithmetic (mod-p
+    representatives in [0, 2^64) across stages, canonicalized once at the
+    end).  An early fully-unrolled variant with canonical ops OOMed the
+    Mosaic VMEM stack at 2048 rows; the lazy rewrite needs far fewer
+    temporaries per butterfly (no compare/select canonical reduction), and
+    static roll shifts lower to fast Mosaic code, so it both fits and is
+    ~1.6x faster.  Kept guarded by `UNROLL_MAX_N1` (proven on-chip sizes).
+  * `_col_ntt_kernel` — one butterfly stage per grid step under a sequential
+    grid (the output block is revisited so state lives in VMEM across
+    stages), canonical ops with dynamic roll shifts:
         z      = T_s * (is_lo ? x[r+half] : x[r])
         out[r] = is_lo ? x[r] + z : x[r-half] - z
+    Fallback for n1 beyond the unrolled kernel's proven range, and the A/B
+    baseline in benches/ntt_variants.py.
+
+Kernel shape rule learned the hard way: strided twiddle slices lower to
+unsupported gathers -> per-stage twiddle VECTORS (log2(n1), n1) are
+precomputed host-side.
 
 Grid: tiles of TILE lanes along the batch (n2) axis.  Input rows must be
 pre-bit-reversed along axis 0 (one XLA row-gather outside).
@@ -37,6 +49,11 @@ from ..fields import device as fd
 from ..fields.scalar import P
 
 TILE = 128
+
+# Largest n1 the unrolled kernel has been compiled+verified at on the chip
+# (benches/ntt_variants.py).  Above this, col_ntt auto-falls back to the
+# per-stage fori_loop kernel instead of risking a Mosaic VMEM-stack OOM.
+UNROLL_MAX_N1 = 4096
 
 
 @functools.lru_cache(maxsize=64)
@@ -164,6 +181,8 @@ def col_ntt(x, tw_stages, tmat=None, pre=None, interpret=False, unrolled=True,
     assert n2 % tile == 0
     with_tmat = tmat is not None
     with_pre = pre is not None
+    if unrolled and n1 > UNROLL_MAX_N1 and pre is None and canon:
+        unrolled = False  # beyond the unrolled kernel's proven VMEM range
     assert canon or unrolled
     assert pre is None or unrolled
     dummy = (jnp.zeros((8, 128), fd.U32), jnp.zeros((8, 128), fd.U32))
