@@ -307,11 +307,8 @@ class DeepPolyComposer:
         num_comp = self.composition_lde.num_cols
         col_plan = tuple((col, off) for (col, off, _y) in trace_pts)
 
-        import os as _os
         from . import runtime
-        use_fused = ((jax.default_backend() != "cpu"
-                      or _os.environ.get("MINISTARK_TPU_FUSED_DEEP") == "interpret")
-                     and not runtime.spmd())
+        use_fused = runtime.fused_ok("MINISTARK_TPU_FUSED_DEEP")
         if use_fused and n % (512 * 8) == 0:
             return self._deep_lde_fused(
                 coeffs, interpret=jax.default_backend() == "cpu")

@@ -368,12 +368,8 @@ def eval_composition(
     # Off-CPU the fused Pallas kernels evaluate term groups entirely in VMEM
     # (XLA:TPU runs each u32 op as a separate HBM pass); the CPU/test path
     # keeps per-term XLA jits.
-    import os as _os
-
     from . import runtime as _rt
-    use_fused = ((jax.default_backend() != "cpu"
-                  or _os.environ.get("MINISTARK_TPU_FUSED_EVAL") == "interpret")
-                 and not _rt.spmd())
+    use_fused = _rt.fused_ok("MINISTARK_TPU_FUSED_EVAL")
     if use_fused and n % (512 * 8) == 0:
         from .ops.eval_pallas import eval_composition_fused
 

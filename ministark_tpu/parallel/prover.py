@@ -24,7 +24,7 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
 
-from .. import prover
+from .. import prover, runtime
 from ..matrix import Matrix, MatrixExt3
 
 
@@ -92,5 +92,11 @@ def prove_sharded(stark, options, witness, mesh: Mesh, axis: str = "col",
     ``stark.prove(options, witness)`` on one chip."""
     proxy = _ShardedStark(stark, mesh, axis)
     # no mesh context needed: the inputs carry NamedShardings, and jit
-    # partitions every phase program from operand shardings alone
-    return prover.default_prove(proxy, options, witness, validate=validate)
+    # partitions every phase program from operand shardings alone.
+    # spmd_mode forces partitionable paths in EVERY phase program: no
+    # pallas_call (GSPMD cannot partition it over sharded operands) and no
+    # host callbacks (they abort when operands arrive sharded).  Program
+    # caches key on runtime.spmd(), so single-chip executables are not
+    # clobbered.
+    with runtime.spmd_mode():
+        return prover.default_prove(proxy, options, witness, validate=validate)

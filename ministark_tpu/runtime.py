@@ -17,6 +17,21 @@ def spmd() -> bool:
     return _spmd
 
 
+def fused_ok(env_flag: str | None = None) -> bool:
+    """Common trace-time gate for the fused Pallas paths (eval / deep / NTT /
+    Merkle lanes / inverse): off-CPU — or force-interpret via `env_flag` on
+    the CPU test backend — and NEVER in SPMD mode."""
+    import os
+
+    import jax
+
+    if _spmd:
+        return False
+    if jax.default_backend() != "cpu":
+        return True
+    return env_flag is not None and os.environ.get(env_flag) == "interpret"
+
+
 class spmd_mode:
     """Context manager: force SPMD-partitionable code paths."""
 
