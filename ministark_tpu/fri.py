@@ -168,7 +168,7 @@ class FriProver:
             alpha = _alpha_device(channel.draw_fri_alpha(), self.fq_is_ext)
             dom_n, dom_m = Domain(n), Domain(n // N)
             args = (evals, alpha, dom_n._inv_tbl(), dom_n._inv_tmat(),
-                    dom_m._fwd_tbl(), dom_m._fwd_tmat())
+                    dom_n._ipost_tbl(), dom_m._fwd_tbl(), dom_m._fwd_tmat())
             if i < L:
                 evals, rows, levels = _fri_fold_commit_program(
                     n, N, self.fq_is_ext, interpret)(
@@ -180,7 +180,8 @@ class FriProver:
                 # the host path computes fft(folded) then ifft's it back
                 # (fold_evals_fp + _set_remainder), a device no-op here
                 coeffs = _fri_fold_ifft_program(n, N, self.fq_is_ext)(
-                    evals, alpha, dom_n._inv_tbl(), dom_n._inv_tmat())
+                    evals, alpha, dom_n._inv_tbl(), dom_n._inv_tmat(),
+                    dom_n._ipost_tbl())
                 self._finish_remainder(channel, coeffs, n // N)
             n //= N
 
@@ -362,15 +363,19 @@ def _fri_fold_commit_program(n: int, N: int, fq_is_ext: bool, interpret: bool):
         dom_n, dom_m = Domain(n), Domain(n // N)
         placeholder = fd.ones((1,))
 
-        def prog(evals, alpha, itbl, itmat, ftbl, ftmat, perm):
+        def prog(evals, alpha, itbl, itmat, ipost, ftbl, ftmat, perm):
             if fq_is_ext:
-                coeffs = dom_n._ifft_ext3_impl(evals, itbl, placeholder, itmat)
+                coeffs = dom_n._ifft_ext3_impl(evals, itbl, placeholder, itmat,
+                                               ipost)
                 folded = _fold_body_ext3(coeffs, alpha, N)
-                out = dom_m._fft_ext3_impl(folded, ftbl, placeholder, ftmat)
+                out = dom_m._fft_ext3_impl(folded, ftbl, placeholder, ftmat,
+                                           placeholder)
             else:
-                coeffs = dom_n._ifft_fp_impl(evals, itbl, placeholder, itmat)
+                coeffs = dom_n._ifft_fp_impl(evals, itbl, placeholder, itmat,
+                                             ipost)
                 folded = _fold_body_fp(coeffs, alpha, N)
-                out = dom_m._fft_fp_impl(folded, ftbl, placeholder, ftmat)
+                out = dom_m._fft_fp_impl(folded, ftbl, placeholder, ftmat,
+                                         placeholder)
             rows, levels = _commit_rows_traced(
                 out, n // N, N, fq_is_ext, perm, interpret)
             return out, rows, levels
@@ -388,11 +393,13 @@ def _fri_fold_ifft_program(n: int, N: int, fq_is_ext: bool):
         dom_n = Domain(n)
         placeholder = fd.ones((1,))
 
-        def prog(evals, alpha, itbl, itmat):
+        def prog(evals, alpha, itbl, itmat, ipost):
             if fq_is_ext:
-                coeffs = dom_n._ifft_ext3_impl(evals, itbl, placeholder, itmat)
+                coeffs = dom_n._ifft_ext3_impl(evals, itbl, placeholder, itmat,
+                                               ipost)
                 return _fold_body_ext3(coeffs, alpha, N)
-            coeffs = dom_n._ifft_fp_impl(evals, itbl, placeholder, itmat)
+            coeffs = dom_n._ifft_fp_impl(evals, itbl, placeholder, itmat,
+                                         ipost)
             return _fold_body_fp(coeffs, alpha, N)
 
         _FRI_PROGRAMS[key] = jax.jit(prog)

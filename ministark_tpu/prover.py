@@ -51,20 +51,23 @@ def _comp_commit_program(trace_len: int, cb: int, ce_dom, lde_dom,
     if key not in _COMP_COMMIT_PROGRAMS:
         perm = np.asarray(bit_reverse_indices(lde_dom.size))
 
-        def prog(evals, itbl, iunscale, itmat, ftbl, fscale, ftmat):
+        def prog(evals, itbl, iunscale, itmat, ipost, ftbl, fscale, ftmat,
+                 fbrv):
             if fq_is_ext:
-                coeffs = ce_dom._ifft_ext3_impl(evals, itbl, iunscale, itmat)
+                coeffs = ce_dom._ifft_ext3_impl(evals, itbl, iunscale, itmat,
+                                                ipost)
                 polys = tuple(
                     (c[0].reshape(trace_len, cb).T,
                      c[1].reshape(trace_len, cb).T) for c in coeffs)
-                lde = lde_dom._fft_ext3_impl(polys, ftbl, fscale, ftmat)
+                lde = lde_dom._fft_ext3_impl(polys, ftbl, fscale, ftmat, fbrv)
                 levels = merkle.commit_matrix_ext3_traced(
                     lde[0], lde[1], lde[2], perm, interpret)
             else:
-                coeffs = ce_dom._ifft_fp_impl(evals, itbl, iunscale, itmat)
+                coeffs = ce_dom._ifft_fp_impl(evals, itbl, iunscale, itmat,
+                                              ipost)
                 polys = (coeffs[0].reshape(trace_len, cb).T,
                          coeffs[1].reshape(trace_len, cb).T)
-                lde = lde_dom._fft_fp_impl(polys, ftbl, fscale, ftmat)
+                lde = lde_dom._fft_fp_impl(polys, ftbl, fscale, ftmat, fbrv)
                 levels = merkle.commit_matrix_fp_traced(
                     lde[0], lde[1], perm, interpret)
             return lde, levels
@@ -157,8 +160,9 @@ def _default_prove(stark, options: ProofOptions, witness, validate: bool) -> Pro
                 mode == "interpret")
             lde_arrays, levels = prog(
                 comp_evals, ce_dom._inv_tbl(), ce_dom._unscale_tbl(),
-                ce_dom._inv_tmat(), lde_dom._fwd_tbl(), lde_dom._scale_tbl(),
-                lde_dom._fwd_tmat())
+                ce_dom._inv_tmat(), ce_dom._ipost_tbl(), lde_dom._fwd_tbl(),
+                lde_dom._scale_tbl(), lde_dom._fwd_tmat(),
+                lde_dom._scale_brv_tbl())
             comp_lde = (MatrixExt3(*lde_arrays) if fq_is_ext
                         else Matrix(*lde_arrays))
             comp_tree = merkle.CommittedMerkleTree(levels, device_lanes=True)

@@ -154,7 +154,8 @@ def test_comp_commit_program_ext_matches(monkeypatch, no_persistent_cache):
     prog = _comp_commit_program(trace_len, cb, ce_dom, lde_dom, True, True)
     lde_arrays, levels = prog(
         evals, ce_dom._inv_tbl(), ce_dom._unscale_tbl(), ce_dom._inv_tmat(),
-        lde_dom._fwd_tbl(), lde_dom._scale_tbl(), lde_dom._fwd_tmat())
+        ce_dom._ipost_tbl(), lde_dom._fwd_tbl(), lde_dom._scale_tbl(),
+        lde_dom._fwd_tmat(), lde_dom._scale_brv_tbl())
     tree_new = merkle.CommittedMerkleTree(levels, device_lanes=True)
 
     assert tree_ref.root() == tree_new.root()
