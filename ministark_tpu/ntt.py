@@ -229,9 +229,14 @@ def _use_pallas(n: int) -> bool:
             and not runtime.spmd())
 
 
-def _ntt_sixstep_pallas_fp(x2: fd.Fp2, n: int, root: int, tmat,
-                           pre=None, post=None) -> fd.Fp2:
-    """Six-step NTT of one flat (n,) Fp vector via the fused column kernel.
+def _ntt_sixstep_pallas_fp_batch(xb: fd.Fp2, n: int, root: int, tmat,
+                                 pre=None, post=None) -> fd.Fp2:
+    """Six-step NTT of a (B, n) batch of Fp vectors via the fused column
+    kernel — ONE two-kernel pipeline transforms every column by folding the
+    batch into the kernels' lane axis (L = B*n2, then B*n1), with the
+    (n1, n2) twiddle/scale matrices cycling per column through the
+    BlockSpec index maps (`lane_period`).  This is the batch-planner role
+    of the reference's gpu/src/plan.rs, without its per-column encodes.
 
     `pre` = bitrev-row-permuted (n1, n2) coset-scale matrix folded into the
     first kernel's prologue; `post` = flat (n,) elementwise factor (1/n and
@@ -242,18 +247,37 @@ def _ntt_sixstep_pallas_fp(x2: fd.Fp2, n: int, root: int, tmat,
     from .ops import ntt_pallas
 
     n1, n2 = _split_n(n)
-    x = (x2[0].reshape(n1, n2), x2[1].reshape(n1, n2))
+    B = xb[0].shape[0]
+    # (B, n1, n2) -> (n1, B*n2): lanes carry (column, j2)
+    x = _tree_map(
+        lambda t: t.reshape(B, n1, n2).transpose(1, 0, 2).reshape(n1, B * n2),
+        xb)
     x = _bitrev_axis0(x, n1)
     tw1 = ntt_pallas.stage_twiddles(pow(root, n2, P), n1)
     tmat2 = (tmat[0].reshape(n1, n2), tmat[1].reshape(n1, n2))
-    x = ntt_pallas.col_ntt(x, tw1, tmat=tmat2, pre=pre, canon=False)
-    x = (jnp.swapaxes(x[0], 0, 1), jnp.swapaxes(x[1], 0, 1))  # (n2, n1)
+    x = ntt_pallas.col_ntt(x, tw1, tmat=tmat2, pre=pre, canon=False,
+                           lane_period=n2)
+    # (n1, B, n2) -> (n2, B*n1): lanes carry (column, k1)
+    x = _tree_map(
+        lambda t: t.reshape(n1, B, n2).transpose(2, 1, 0).reshape(n2, B * n1),
+        x)
     x = _bitrev_axis0(x, n2)
     tw2 = ntt_pallas.stage_twiddles(pow(root, n1, P), n2)
     emat = (None if post is None else
             (post[0].reshape(n2, n1), post[1].reshape(n2, n1)))
-    x = ntt_pallas.col_ntt(x, tw2, tmat=emat)
-    return (x[0].reshape(n), x[1].reshape(n))
+    x = ntt_pallas.col_ntt(x, tw2, tmat=emat, lane_period=n1)
+    # (n2, B, n1) -> (B, n): out[b, k2*n1 + k1] = D[k2, b, k1]
+    return _tree_map(
+        lambda t: t.reshape(n2, B, n1).transpose(1, 0, 2).reshape(B, n), x)
+
+
+def _ntt_sixstep_pallas_fp(x2: fd.Fp2, n: int, root: int, tmat,
+                           pre=None, post=None) -> fd.Fp2:
+    """Six-step NTT of one flat (n,) Fp vector (B=1 batch)."""
+    out = _ntt_sixstep_pallas_fp_batch(
+        (x2[0].reshape(1, n), x2[1].reshape(1, n)), n, root, tmat,
+        pre=pre, post=post)
+    return (out[0].reshape(n), out[1].reshape(n))
 
 
 def _ntt_core(a, tw: fd.Fp2, n: int, tmat, mul_tw, add_op, sub_op, root=None,
@@ -266,23 +290,24 @@ def _ntt_core(a, tw: fd.Fp2, n: int, tmat, mul_tw, add_op, sub_op, root=None,
     batch = jax.tree.leaves(a)[0].shape[:-1]
 
     if root is not None and _use_pallas(n):
-        # run each component / batch element through the fused kernel
+        # ONE batched two-kernel pipeline for every component and batch
+        # element: extension components and trace columns alike fold into
+        # the kernels' lane axis
         comps = a if isinstance(a[0], tuple) else (a,)
+        ncomp = len(comps)
+        flats = [(c[0].reshape(-1, n), c[1].reshape(-1, n)) for c in comps]
+        per = flats[0][0].shape[0]  # batch elements per component
+        xb = (jnp.concatenate([f[0] for f in flats], axis=0),
+              jnp.concatenate([f[1] for f in flats], axis=0))
+        ob = _ntt_sixstep_pallas_fp_batch(xb, n, root, tmat,
+                                          pre=pre, post=post)
         out_comps = []
-        for comp in comps:
-            if batch:
-                flat = (comp[0].reshape(-1, n), comp[1].reshape(-1, n))
-                outs = [
-                    _ntt_sixstep_pallas_fp((flat[0][i], flat[1][i]), n, root,
-                                           tmat, pre=pre, post=post)
-                    for i in range(flat[0].shape[0])
-                ]
-                out = (jnp.stack([o[0] for o in outs]).reshape(*batch, n),
-                       jnp.stack([o[1] for o in outs]).reshape(*batch, n))
-            else:
-                out = _ntt_sixstep_pallas_fp(comp, n, root, tmat,
-                                             pre=pre, post=post)
-            out_comps.append(out)
+        for k in range(ncomp):
+            sl = slice(k * per, (k + 1) * per)
+            comp = (ob[0][sl], ob[1][sl])
+            out_comps.append(_tree_map(
+                lambda t: t.reshape(*batch, n) if batch else t.reshape(n),
+                comp))
         return tuple(out_comps) if isinstance(a[0], tuple) else out_comps[0]
 
     if n < _SIX_STEP_MIN:

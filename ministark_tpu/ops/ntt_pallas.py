@@ -165,22 +165,37 @@ def _col_ntt_kernel_unrolled(x_lo_ref, x_hi_ref, tw_lo_ref, tw_hi_ref,
     o_hi_ref[:] = x[1]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "unrolled", "canon"))
+@functools.partial(jax.jit, static_argnames=("interpret", "unrolled", "canon",
+                                              "lane_period"))
 def col_ntt(x, tw_stages, tmat=None, pre=None, interpret=False, unrolled=True,
-            canon=True):
-    """Column NTT over axis 0 of (n1, n2) limb pairs.
+            canon=True, lane_period=None):
+    """Column NTT over axis 0 of (n1, L) limb pairs.
 
     `x` must already be bit-reversed along axis 0; `tw_stages` = per-stage
     twiddle vectors from `stage_twiddles`; `tmat` (optional) = (n1, n2)
     six-step twiddle matrix folded into the output; `pre` (optional) =
     (n1, n2) elementwise scale applied before the stages (coset offsets).
+
+    BATCHING: the lane axis may carry several independent columns packed as
+    L = ncols * n2.  `lane_period` (= n2, static) makes the tmat/pre blocks
+    cycle per column via the BlockSpec index map, so ONE kernel pipeline
+    transforms all columns (gpu/src/plan.rs's batch-planner role).  With
+    `lane_period=None` tmat/pre must span the full lane width.
+
     Inputs may be mod-p representatives in [0, 2^64); `canon=False` keeps
     the output in representative form too (unrolled path only)."""
-    n1, n2 = x[0].shape
-    tile = min(TILE, n2)
-    assert n2 % tile == 0
+    n1, L = x[0].shape
+    tile = min(TILE, L)
+    assert L % tile == 0
+    period = lane_period if lane_period is not None else L
+    assert L % period == 0 and period % tile == 0, (L, period, tile)
+    pp = period // tile  # tmat/pre blocks per column
     with_tmat = tmat is not None
     with_pre = pre is not None
+    if with_tmat:
+        assert tmat[0].shape == (n1, period), (tmat[0].shape, n1, period)
+    if with_pre:
+        assert pre[0].shape == (n1, period), (pre[0].shape, n1, period)
     if unrolled and n1 > UNROLL_MAX_N1 and pre is None and canon:
         unrolled = False  # beyond the unrolled kernel's proven VMEM range
     assert canon or unrolled
@@ -193,23 +208,26 @@ def col_ntt(x, tw_stages, tmat=None, pre=None, interpret=False, unrolled=True,
 
     log_n = n1.bit_length() - 1
     if unrolled:
-        grid = (n2 // tile,)
+        grid = (L // tile,)
         xspec = pl.BlockSpec((n1, tile), lambda j: (0, j), memory_space=pltpu.VMEM)
-        tmspec = (pl.BlockSpec((n1, tile), lambda j: (0, j), memory_space=pltpu.VMEM)
+        tmspec = (pl.BlockSpec((n1, tile), lambda j: (0, j % pp),
+                               memory_space=pltpu.VMEM)
                   if with_tmat else
                   pl.BlockSpec((8, 128), lambda j: (0, 0), memory_space=pltpu.VMEM))
         twspec = pl.BlockSpec((log_n, n1, 1), lambda j: (0, 0, 0),
                               memory_space=pltpu.VMEM)
-        pmspec = (pl.BlockSpec((n1, tile), lambda j: (0, j), memory_space=pltpu.VMEM)
+        pmspec = (pl.BlockSpec((n1, tile), lambda j: (0, j % pp),
+                               memory_space=pltpu.VMEM)
                   if with_pre else
                   pl.BlockSpec((8, 128), lambda j: (0, 0), memory_space=pltpu.VMEM))
         kernel = functools.partial(_col_ntt_kernel_unrolled, n1=n1,
                                    with_tmat=with_tmat, with_pre=with_pre,
                                    canon=canon)
     else:
-        grid = (n2 // tile, log_n)
+        grid = (L // tile, log_n)
         xspec = pl.BlockSpec((n1, tile), lambda j, s: (0, j), memory_space=pltpu.VMEM)
-        tmspec = (pl.BlockSpec((n1, tile), lambda j, s: (0, j), memory_space=pltpu.VMEM)
+        tmspec = (pl.BlockSpec((n1, tile), lambda j, s: (0, j % pp),
+                               memory_space=pltpu.VMEM)
                   if with_tmat else
                   pl.BlockSpec((8, 128), lambda j, s: (0, 0), memory_space=pltpu.VMEM))
         twspec = pl.BlockSpec((1, n1, 1), lambda j, s: (s, 0, 0),
@@ -223,8 +241,8 @@ def col_ntt(x, tw_stages, tmat=None, pre=None, interpret=False, unrolled=True,
         in_specs=[xspec, xspec, twspec, twspec, tmspec, tmspec,
                   pmspec, pmspec],
         out_specs=(xspec, xspec),
-        out_shape=(jax.ShapeDtypeStruct((n1, n2), jnp.uint32),
-                   jax.ShapeDtypeStruct((n1, n2), jnp.uint32)),
+        out_shape=(jax.ShapeDtypeStruct((n1, L), jnp.uint32),
+                   jax.ShapeDtypeStruct((n1, L), jnp.uint32)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -268,3 +268,58 @@ def test_pallas_sixstep_pipeline_interpret(offset, monkeypatch,
     assert _unpack(evals) == _unpack(want)
     _spot_check_fft(dom, [int(v) for v in coeffs_v], _unpack(want),
                     [0, 1, 12345, n - 1])
+
+
+@pytest.mark.parametrize("offset", [1, GENERATOR])
+def test_pallas_sixstep_batched_interpret(offset, monkeypatch,
+                                          no_persistent_cache):
+    """Batched columns through ONE fused pipeline (ncols folded into the
+    kernels' lane axis with per-column twiddle cycling) must match the XLA
+    branch column-for-column — fwd and inv, Fp and ext3."""
+    n = 1 << 14
+    ncols = 3
+    orig_col_ntt = ntt_pallas.col_ntt
+    monkeypatch.setattr(ntt, "_use_pallas", lambda _n: True)
+    monkeypatch.setattr(ntt_pallas, "col_ntt",
+                        functools.partial(orig_col_ntt, interpret=True))
+
+    cols_v = RNG.integers(0, P, size=(ncols, n), dtype=np.uint64)
+    dom = ntt.Domain(n, offset)
+    evals = dom._fft_fp_impl(fd.pack_np(cols_v), dom._fwd_tbl(),
+                             dom._scale_tbl(), dom._fwd_tmat(),
+                             dom._scale_brv_tbl())
+    back = dom._ifft_fp_impl(evals, dom._inv_tbl(), dom._unscale_tbl(),
+                             dom._inv_tmat(), dom._ipost_tbl())
+    assert np.array_equal(np.asarray(back[0]), np.asarray(fd.pack_np(cols_v)[0]))
+    assert np.array_equal(np.asarray(back[1]), np.asarray(fd.pack_np(cols_v)[1]))
+
+    monkeypatch.setattr(ntt, "_use_pallas", lambda _n: False)
+    want = dom._fft_fp_impl(fd.pack_np(cols_v), dom._fwd_tbl(),
+                            dom._scale_tbl(), dom._fwd_tmat(),
+                            dom._scale_brv_tbl())
+    assert np.array_equal(np.asarray(evals[0]), np.asarray(want[0]))
+    assert np.array_equal(np.asarray(evals[1]), np.asarray(want[1]))
+
+
+def test_pallas_sixstep_batched_ext3_interpret(monkeypatch,
+                                               no_persistent_cache):
+    """Ext3 components and columns both fold into one batched pipeline."""
+    n = 1 << 14
+    ncols = 2
+    orig_col_ntt = ntt_pallas.col_ntt
+    monkeypatch.setattr(ntt, "_use_pallas", lambda _n: True)
+    monkeypatch.setattr(ntt_pallas, "col_ntt",
+                        functools.partial(orig_col_ntt, interpret=True))
+
+    comps_v = RNG.integers(0, P, size=(3, ncols, n), dtype=np.uint64)
+    x = tuple(fd.pack_np(comps_v[k]) for k in range(3))
+    dom = ntt.Domain(n, GENERATOR)
+    evals = dom._fft_ext3_impl(x, dom._fwd_tbl(), dom._scale_tbl(),
+                               dom._fwd_tmat(), dom._scale_brv_tbl())
+
+    monkeypatch.setattr(ntt, "_use_pallas", lambda _n: False)
+    want = dom._fft_ext3_impl(x, dom._fwd_tbl(), dom._scale_tbl(),
+                              dom._fwd_tmat(), dom._scale_brv_tbl())
+    for k in range(3):
+        assert np.array_equal(np.asarray(evals[k][0]), np.asarray(want[k][0]))
+        assert np.array_equal(np.asarray(evals[k][1]), np.asarray(want[k][1]))
