@@ -7,10 +7,12 @@ recurrence s' = a*s + b with per-row (a, b) computable elementwise from the
 base columns, so here they are jitted device affine scans (scan.py).
 
 Permutation initials: the reference draws them from `ark_std::test_rng()`
-(trace.rs:82-84) — prover-side only; the cross-table terminal constraints
-compare running products seeded with the SAME initial, so any value is sound.
-We use fixed public constants (documented deviation: affects proof bytes,
-not validity).
+(trace.rs:82-84) — a fixed, deterministic ChaCha12 stream replicated
+byte-exactly by ``ministark_tpu.ark_rng``, so brainfuck proofs are
+bit-compatible with the Rust prover.  Set MINISTARK_TPU_BF_INITIALS=fixed
+to use the previous fixed public constants instead (either choice is sound:
+the cross-table terminal constraints compare running products seeded with
+the SAME initial).
 """
 
 from __future__ import annotations
@@ -29,9 +31,24 @@ from ...stark import Trace
 from . import tables as T
 from .vm import OP_READ, OP_WRITE
 
-# fixed permutation-argument initials (see module docstring)
-INSTR_PERM_INITIAL = Fq3(0x6D696E69737461726B % P, 0x747075_1, 0x696E7374725F696E6974 % P)
-MEM_PERM_INITIAL = Fq3(0x6D656D5F696E6974 % P, 0x747075_2, 0x6272665F6D656D % P)
+def _perm_initials() -> tuple[Fq3, Fq3]:
+    """(instr_initial, mem_initial), matching the reference's two
+    ``Fq3::rand(ark_std::test_rng())`` draws (trace.rs:82-84)."""
+    import os
+
+    if os.environ.get("MINISTARK_TPU_BF_INITIALS") == "fixed":
+        return (
+            Fq3(0x6D696E69737461726B % P, 0x747075_1,
+                0x696E7374725F696E6974 % P),
+            Fq3(0x6D656D5F696E6974 % P, 0x747075_2, 0x6272665F6D656D % P),
+        )
+    from ...ark_rng import rand_fq3, test_rng
+
+    rng = test_rng()
+    return rand_fq3(rng), rand_fq3(rng)
+
+
+INSTR_PERM_INITIAL, MEM_PERM_INITIAL = _perm_initials()
 
 
 class BrainfuckTrace(Trace):
