@@ -39,6 +39,15 @@ class ProofOptions:
         b = self.lde_blowup_factor
         assert b & (b - 1) == 0 and 1 <= b <= self.MAX_BLOWUP_FACTOR
         assert 0 <= self.grinding_factor <= self.MAX_GRINDING_FACTOR
+        # FRI parameter shapes fri.py actually supports: fold by per-coset
+        # iNTT of size N in {2,4,8,16} (src/fri.rs:526-567 structure), and a
+        # power-of-two remainder coefficient bound (remainder = iNTT of the
+        # final layer, a radix-2 domain).
+        assert self.fri_folding_factor in (2, 4, 8, 16), (
+            f"fri_folding_factor must be 2/4/8/16, got {self.fri_folding_factor}")
+        r = self.fri_max_remainder_coeffs
+        assert r >= 1 and r & (r - 1) == 0, (
+            f"fri_max_remainder_coeffs must be a power of two, got {r}")
 
     def serialize(self, w: serde.Writer):
         w.u8(self.num_queries)

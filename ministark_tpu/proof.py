@@ -94,9 +94,15 @@ class Proof:
     def from_bytes(data: bytes, fp, fq) -> "Proof":
         return Proof.deserialize(serde.Reader(data), fp, fq)
 
-    def security_level_bits(self, fq=None) -> int:
+    def security_level_bits(self, fq=None, merkle_security: int | None = None,
+                            coin_security: int | None = None) -> int:
         """min(field, query, merkle, coin) security (src/proof.rs:122-148,
-        per ethSTARK / eprint 2020/654 §7.2)."""
+        per ethSTARK / eprint 2020/654 §7.2).
+
+        The reference asks the configured tree/coin types for their own
+        security (src/merkle.rs:52, src/random.rs:58-60); callers that know
+        the Stark config pass ``merkle_security``/``coin_security`` from it
+        (the verifier does); bare calls default to SHA-256's 128."""
         fq = fq or (type(self.execution_trace_ood_evals[0])
                     if self.execution_trace_ood_evals else Fp)
         ext_degree = 3 if fq is Fq3 else 1
@@ -106,5 +112,9 @@ class Proof:
         query_security = (
             (self.options.lde_blowup_factor.bit_length() - 1) * self.options.num_queries
             + self.options.grinding_factor)
+        if merkle_security is None:
+            merkle_security = COLLISION_RESISTANCE
+        if coin_security is None:
+            coin_security = COLLISION_RESISTANCE
         return min(field_security, query_security,
-                   COLLISION_RESISTANCE, COLLISION_RESISTANCE)
+                   merkle_security, coin_security)

@@ -43,6 +43,10 @@ class Stark:
     # `hash_rpo` (RPO-256, eprint 2022/1577 — the algebraic hash the
     # reference ships GPU kernels for, gpu/src/plan.rs:32-174).
     merkle_hash = H
+    # Public-coin hash (the reference's PublicCoin associated type,
+    # src/stark.rs:25-35 / src/random.rs:58-60): feeds the Fiat-Shamir
+    # transcript and the coin leg of the security accounting.
+    coin_hash = H
 
     # -- user hooks ----------------------------------------------------------
 
@@ -65,7 +69,8 @@ class Stark:
         self.serialize_public_inputs(w)
         w.usize(air.trace_len)
         air.options.serialize(w)
-        return PublicCoin(H.sha256(w.bytes()), field=self.fq)
+        return PublicCoin(H.sha256(w.bytes()), field=self.fq,
+                          hashfn=self.coin_hash)
 
     # -- provided ------------------------------------------------------------
 

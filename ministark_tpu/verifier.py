@@ -22,11 +22,13 @@ class VerificationError(Exception):
 
 def default_verify(stark, proof: Proof, required_security_bits: int):
     fq = stark.fq
-    if proof.security_level_bits(fq) < required_security_bits:
-        raise VerificationError("proof params do not satisfy security requirements")
-
     from . import hash as H
     hashfn = getattr(stark, "merkle_hash", H)
+    coin_hash = getattr(stark, "coin_hash", H)
+    if proof.security_level_bits(
+            fq, merkle_security=hashfn.COLLISION_RESISTANCE,
+            coin_security=coin_hash.COLLISION_RESISTANCE) < required_security_bits:
+        raise VerificationError("proof params do not satisfy security requirements")
 
     options = proof.options
     air = stark.build_air(proof.trace_len, options)
