@@ -163,23 +163,31 @@ def hash_rows_ext3_rpo(c0, c1, c2):
 _RPO_TREE_PROGRAMS: dict = {}
 
 
-def build_tree_levels_rpo(leaf_words) -> list[np.ndarray]:
-    """All tree levels from (n, 8) RPO leaf words — ONE jitted program."""
+def _rpo_tree_levels_traced(words) -> list:
+    """All tree levels from (n, 8) RPO leaf words, returned DEVICE-RESIDENT
+    in lane-major (8, m) form (the same layout the SHA lanes path uses, so
+    CommittedMerkleTree's bulk-fetch decommit machinery applies unchanged).
+    Jit-traceable; levels never round-trip to the host — a 2^23-leaf tree is
+    ~0.5 GB of digests, which would drown the TPU tunnel."""
     from .ops import rpo256
 
+    levels = [jnp.transpose(words)]
+    cur = words
+    while cur.shape[0] > 1:
+        left = _rpo_pairs(cur[0::2])
+        right = _rpo_pairs(cur[1::2])
+        cur = _rpo_words(rpo256.merge_digests(left, right))
+        levels.append(jnp.transpose(cur))
+    return levels
+
+
+def build_tree_levels_rpo(leaf_words) -> list:
+    """All tree levels from (n, 8) RPO leaf words — ONE jitted program,
+    levels staying on device (lane-major)."""
     n = int(leaf_words.shape[0])
     if n not in _RPO_TREE_PROGRAMS:
-        def prog(words):
-            levels = [words]
-            cur = words
-            while cur.shape[0] > 1:
-                left = _rpo_pairs(cur[0::2])
-                right = _rpo_pairs(cur[1::2])
-                cur = _rpo_words(rpo256.merge_digests(left, right))
-                levels.append(cur)
-            return levels
-        _RPO_TREE_PROGRAMS[n] = jax.jit(prog)
-    return [np.asarray(l, dtype=np.uint32) for l in _RPO_TREE_PROGRAMS[n](leaf_words)]
+        _RPO_TREE_PROGRAMS[n] = jax.jit(_rpo_tree_levels_traced)
+    return _RPO_TREE_PROGRAMS[n](leaf_words)
 
 
 def build_tree_levels_device(leaf_digest_words, interpret: bool = False) -> list:
@@ -254,7 +262,8 @@ class CommittedMerkleTree:
     def from_leaf_words(leaf_digest_words, hashfn=H) -> "CommittedMerkleTree":
         if hashfn is not H:
             return CommittedMerkleTree(
-                build_tree_levels_rpo(leaf_digest_words), hashfn=hashfn)
+                build_tree_levels_rpo(leaf_digest_words), hashfn=hashfn,
+                device_lanes=True)
         mode = _lanes_mode()
         if mode is not None:
             return CommittedMerkleTree(
@@ -588,11 +597,20 @@ def commit_matrix_fp(cols_lo, cols_hi, bit_reversed_input: bool = False,
     default, RPO-256 via hash_rpo) — the reference's MerkleTree associated
     type (src/stark.rs:25-35)."""
     if hashfn is not H:
-        digests = hash_rows_fp_rpo(cols_lo, cols_hi)
-        if not bit_reversed_input:
-            perm = jnp.asarray(bit_reverse_indices(digests.shape[0]))
-            digests = digests[perm]
-        return CommittedMerkleTree.from_leaf_words(digests, hashfn=hashfn)
+        key = ("rpo-fp", tuple(cols_lo.shape), bit_reversed_input)
+        if key not in _COMMIT_PROGRAMS:
+            perm = (None if bit_reversed_input
+                    else np.asarray(bit_reverse_indices(cols_lo.shape[1])))
+
+            def prog(lo, hi):
+                digests = hash_rows_fp_rpo(lo, hi)
+                if perm is not None:
+                    digests = digests[perm]
+                return _rpo_tree_levels_traced(digests)
+
+            _COMMIT_PROGRAMS[key] = jax.jit(prog)
+        return CommittedMerkleTree(_COMMIT_PROGRAMS[key](cols_lo, cols_hi),
+                                   hashfn=hashfn, device_lanes=True)
     mode = _lanes_mode()
     if mode is not None:
         prog = _commit_program("fp", cols_lo.shape, bit_reversed_input,
@@ -608,11 +626,20 @@ def commit_matrix_fp(cols_lo, cols_hi, bit_reversed_input: bool = False,
 def commit_matrix_ext3(c0, c1, c2, bit_reversed_input: bool = False,
                        hashfn=H) -> CommittedMerkleTree:
     if hashfn is not H:
-        digests = hash_rows_ext3_rpo(c0, c1, c2)
-        if not bit_reversed_input:
-            perm = jnp.asarray(bit_reverse_indices(digests.shape[0]))
-            digests = digests[perm]
-        return CommittedMerkleTree.from_leaf_words(digests, hashfn=hashfn)
+        key = ("rpo-ext3", tuple(c0[0].shape), bit_reversed_input)
+        if key not in _COMMIT_PROGRAMS:
+            perm = (None if bit_reversed_input
+                    else np.asarray(bit_reverse_indices(c0[0].shape[1])))
+
+            def prog(a0, a1, a2):
+                digests = hash_rows_ext3_rpo(a0, a1, a2)
+                if perm is not None:
+                    digests = digests[perm]
+                return _rpo_tree_levels_traced(digests)
+
+            _COMMIT_PROGRAMS[key] = jax.jit(prog)
+        return CommittedMerkleTree(_COMMIT_PROGRAMS[key](c0, c1, c2),
+                                   hashfn=hashfn, device_lanes=True)
     mode = _lanes_mode()
     if mode is not None:
         prog = _commit_program("ext3", c0[0].shape, bit_reversed_input,
