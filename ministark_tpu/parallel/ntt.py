@@ -265,17 +265,31 @@ class ShardedDomain:
         }[kind]
 
         vec = PSpec(ax)  # PartitionSpec prefix: applies to every leaf
+        from .. import runtime
+
         if scale_dev is None:
             mapped = jax.shard_map(lambda x, tmat: local(x, tmat),
                                    mesh=mesh, in_specs=(vec, vec),
                                    out_specs=vec, check_vma=False)
             jitted = jax.jit(mapped)
-            return lambda x: jitted(x, tmat_dev)
+
+            def call(x):
+                # XLA:CPU segfaults (de)serializing shard_map executables
+                # through the persistent cache — bypass it on CPU
+                with runtime.cpu_no_persistent_cache():
+                    return jitted(x, tmat_dev)
+
+            return call
         mapped = jax.shard_map(lambda x, tmat, scl: local(x, tmat, scl),
                                mesh=mesh, in_specs=(vec, vec, vec),
                                out_specs=vec, check_vma=False)
         jitted = jax.jit(mapped)
-        return lambda x: jitted(x, tmat_dev, scale_dev)
+
+        def call(x):
+            with runtime.cpu_no_persistent_cache():
+                return jitted(x, tmat_dev, scale_dev)
+
+        return call
 
     @functools.cached_property
     def fft_fp(self):

@@ -104,7 +104,16 @@ def sharded_lde_and_commit(mesh: Mesh, trace_dom: Domain, lde_dom: Domain):
         # subtree roots; the varying-axis checker cannot infer that
         check_vma=False,
     )
-    return jax.jit(fn)
+    jitted = jax.jit(fn)
+    from .. import runtime
+
+    def call(lo, hi):
+        # XLA:CPU segfaults (de)serializing shard_map executables through
+        # the persistent cache — bypass it on CPU
+        with runtime.cpu_no_persistent_cache():
+            return jitted(lo, hi)
+
+    return call
 
 
 def sharded_fri_fold(mesh: Mesh, n: int, folding_factor: int):
@@ -151,8 +160,10 @@ def sharded_fri_fold(mesh: Mesh, n: int, folding_factor: int):
         check_vma=False,
     )
     jitted = jax.jit(fn)
+    from .. import runtime
 
     def call(lo, hi, alo, ahi):
-        return jitted(lo, hi, alo, ahi, itmat, ftmat)
+        with runtime.cpu_no_persistent_cache():
+            return jitted(lo, hi, alo, ahi, itmat, ftmat)
 
     return call

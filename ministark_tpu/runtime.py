@@ -32,6 +32,34 @@ def fused_ok(env_flag: str | None = None) -> bool:
     return env_flag is not None and os.environ.get(env_flag) == "interpret"
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def cpu_no_persistent_cache():
+    """XLA:CPU on this image SEGFAULTS (de)serializing some shard_map/SPMD
+    executables through the persistent compilation cache — both in the
+    write and in a later read of a written entry (observed: the distributed
+    six-step NTT wrappers; earlier, a fused ext3 commit program).  Wrap
+    shard_map program CALLS in this guard: the first call still compiles,
+    but the disk cache is bypassed in both directions on the CPU backend.
+    TPU is unaffected and keeps full caching."""
+    import jax
+
+    if jax.default_backend() != "cpu":
+        yield
+        return
+    old = jax.config.jax_enable_compilation_cache
+    if not old:
+        yield
+        return
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_compilation_cache", old)
+
+
 class spmd_mode:
     """Context manager: force SPMD-partitionable code paths."""
 
