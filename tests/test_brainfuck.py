@@ -53,6 +53,7 @@ def test_constraints_satisfied(sim):
     debug.validate_constraints(air, challenges, hints, trace.base_columns(), ext)
 
 
+@pytest.mark.slow
 def test_prove_verify_roundtrip(sim, tmp_path):
     tables, out = sim
     trace = BrainfuckTrace(tables)

@@ -11,6 +11,8 @@ fixture pins OUR bytes (generated once, committed) against regressions.
 import hashlib
 import os
 
+import pytest
+
 from ministark_tpu.air import ProofOptions
 from ministark_tpu.fields.scalar import Fp
 from ministark_tpu.models.fib import FibClaim, gen_trace
@@ -45,10 +47,12 @@ def _check_golden(path: str, data: bytes):
         f"want {hashlib.sha256(golden).hexdigest()[:16]})")
 
 
+@pytest.mark.slow
 def test_proof_bytes_match_golden_fixture():
     _check_golden(FIXTURE, _prove_bytes())
 
 
+@pytest.mark.slow
 def test_brainfuck_proof_bytes_match_golden_fixture():
     """Pins the Fq3/extension-column/permutation-argument transcript."""
     from ministark_tpu.fields.scalar import Fq3

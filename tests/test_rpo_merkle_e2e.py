@@ -19,6 +19,7 @@ class FibClaimRpo(FibClaim):
     merkle_hash = hash_rpo
 
 
+@pytest.mark.slow
 def test_rpo_merkle_prove_verify_roundtrip():
     trace = gen_trace(128)
     claim = FibClaimRpo(trace.last_value())

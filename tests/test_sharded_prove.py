@@ -2,12 +2,15 @@
 IDENTICAL to the single-chip prover's — the partitioned phase programs
 compute the same function, so the whole Fiat-Shamir transcript replays."""
 
+import pytest
+
 from ministark_tpu.air import ProofOptions
 from ministark_tpu.fields.scalar import Fp
 from ministark_tpu.models.fib import FibClaim, gen_trace
 from ministark_tpu.parallel import sharded
 from ministark_tpu.parallel.prover import prove_sharded
 
+pytestmark = pytest.mark.slow
 
 OPTIONS = ProofOptions(num_queries=8, lde_blowup_factor=4, grinding_factor=2,
                        fri_folding_factor=4, fri_max_remainder_coeffs=16)

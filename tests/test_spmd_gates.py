@@ -15,6 +15,7 @@ from ministark_tpu.parallel import sharded
 from ministark_tpu.parallel.prover import prove_sharded
 
 
+@pytest.mark.slow
 def test_prove_sharded_enters_spmd_mode(monkeypatch):
     """runtime.spmd() is True for the whole sharded prove (checked inside
     default_prove, i.e. inside every phase) and restored afterwards."""
