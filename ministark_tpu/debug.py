@@ -4,7 +4,8 @@ The reference ships an empty stub here (src/debug.rs:17-127, all
 commented out); this implements what that dead code intended: evaluate every
 constraint on every trace row with 0/0-tolerant division and report the
 first (constraint, row) that fails.  Rows are subsampled beyond
-`MAX_FULL_ROWS` to keep debug proving fast.
+`MAX_FULL_ROWS` to keep debug proving fast; pass `full=True` (or set
+MINISTARK_TPU_DEBUG_FULL=1) to check every row.
 """
 
 from __future__ import annotations
@@ -20,7 +21,15 @@ class ConstraintViolation(Exception):
     pass
 
 
-def validate_constraints(air, challenges, hints, base_trace, extension_trace):
+def validate_constraints(air, challenges, hints, base_trace, extension_trace,
+                         full=None):
+    """Check every constraint on the trace.
+
+    `full=True` (or MINISTARK_TPU_DEBUG_FULL=1) checks EVERY row; the
+    default subsamples beyond MAX_FULL_ROWS to keep debug proving fast."""
+    import os
+    if full is None:
+        full = os.environ.get("MINISTARK_TPU_DEBUG_FULL", "0") == "1"
     n = base_trace.num_rows
     trace_dom = air.trace_domain()
 
@@ -32,7 +41,7 @@ def validate_constraints(air, challenges, hints, base_trace, extension_trace):
         e = extension_trace.as_ext3()
         comps = [fd.unpack_np(c) for c in e]  # 3 x (ncols, n)
 
-    if n <= MAX_FULL_ROWS:
+    if full or n <= MAX_FULL_ROWS:
         rows = range(n)
     else:
         import random as _random

@@ -94,27 +94,37 @@ def _powers_device(base: fd.Fp2, n: int) -> fd.Fp2:
     return out
 
 
-@functools.lru_cache(maxsize=256)
-def _powers_cached(base: int, n: int):
-    b = (jnp.asarray(np.uint32(base & 0xFFFFFFFF)), jnp.asarray(np.uint32(base >> 32)))
-    out = _powers_device(b, n)
-    return jax.tree.map(lambda x: jax.block_until_ready(x), out)
+try:  # stable across jax versions; jax.core re-exports with a deprecation shim
+    from jax.core import Tracer as _Tracer
+except ImportError:  # pragma: no cover
+    from jax._src.core import Tracer as _Tracer
+
+_POWERS_CACHE: dict = {}
+_POWERS_CACHE_MAX = 256
 
 
 def powers(base: int, n: int) -> fd.Fp2:
     """Cached device table of base^i, i < n.
 
     Inside a jit trace the concrete cached table is embedded as a constant;
-    the cache itself is only ever populated outside a trace (populating it
-    with tracers would leak them)."""
-    from jax._src.core import trace_state_clean
-
+    the cache must only be populated outside a trace (a jit-inside-jit call
+    returns tracers even for concrete int args, and caching those would
+    leak them).  Rather than querying jax's private trace-state API, probe
+    the result: only concrete outputs are cached."""
     base %= P
-    if not trace_state_clean():
-        # compute inline (traced); cheap log-depth scan, no caching
-        b = (jnp.asarray(np.uint32(base & 0xFFFFFFFF)), jnp.asarray(np.uint32(base >> 32)))
-        return _powers_device(b, n)
-    return _powers_cached(base, n)
+    key = (base, n)
+    hit = _POWERS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    b = (jnp.asarray(np.uint32(base & 0xFFFFFFFF)), jnp.asarray(np.uint32(base >> 32)))
+    out = _powers_device(b, n)
+    if isinstance(out[0], _Tracer):
+        return out  # traced inline inside an outer jit; not cacheable
+    out = jax.tree.map(jax.block_until_ready, out)
+    if len(_POWERS_CACHE) >= _POWERS_CACHE_MAX:
+        _POWERS_CACHE.pop(next(iter(_POWERS_CACHE)))
+    _POWERS_CACHE[key] = out
+    return out
 
 
 # ---------------------------------------------------------------------------
