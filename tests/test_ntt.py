@@ -86,6 +86,26 @@ def test_powers_table():
     assert tbl == [pow(w, i, P) for i in range(33)]
 
 
+def test_powers_cache_not_populated_inside_trace():
+    # powers() embeds cached tables as jit constants, but a call first made
+    # INSIDE a trace returns tracers which must never enter the cache.
+    import jax
+
+    w, n = 0x1234567, 17
+    ntt._POWERS_CACHE.pop((w % P, n), None)
+
+    @jax.jit
+    def f():
+        return ntt.powers(w, n)
+
+    got = fd.to_ints(f())
+    assert (w % P, n) not in ntt._POWERS_CACHE
+    assert got == [pow(w, i, P) for i in range(n)]
+    # outside a trace the same call populates the cache
+    ntt.powers(w, n)
+    assert (w % P, n) in ntt._POWERS_CACHE
+
+
 def test_poly_eval_fp():
     n = 100
     coeffs = [int(x) for x in RNG.integers(0, P, size=n, dtype=np.uint64)]
