@@ -17,6 +17,11 @@ import time
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 SIZES = [2048, 4096, 32768, 262144]
 ITERS = 10

@@ -12,6 +12,11 @@ import time
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def _timeit(fn, *args, iters=20):
     import jax
