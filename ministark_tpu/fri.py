@@ -32,7 +32,7 @@ from .fields import device as fd
 from .fields.scalar import Fp, Fq3, P, get_root_of_unity
 from .merkle import MerkleView
 from .ntt import (Domain, bit_reverse_ext3, bit_reverse_fp, bit_reverse_index,
-                  bit_reverse_indices)
+                  permute_bitrev)
 from .composer import fq3_to_device_scalar, scalar_to_ext3
 
 
@@ -161,7 +161,7 @@ class FriProver:
         interpret = merkle._lanes_mode() == "interpret"
         L = self.options.num_layers(n)
         rows, levels = _fri_commit_program(
-            n, N, self.fq_is_ext, interpret)(evals, _perm_device(n))
+            n, N, self.fq_is_ext, interpret)(evals)
         self._append_layer(rows, levels)
         channel.commit_fri_layer(self.layers[-1].tree.root())
         for i in range(1, L + 1):
@@ -171,8 +171,7 @@ class FriProver:
                     dom_n._ipost_tbl(), dom_m._fwd_tbl(), dom_m._fwd_tmat())
             if i < L:
                 evals, rows, levels = _fri_fold_commit_program(
-                    n, N, self.fq_is_ext, interpret)(
-                        *args, _perm_device(n // N))
+                    n, N, self.fq_is_ext, interpret)(*args)
                 self._append_layer(rows, levels)
                 channel.commit_fri_layer(self.layers[-1].tree.root())
             else:
@@ -308,15 +307,8 @@ class FriProver:
 # fused layer programs (TPU path): fold + bitrev + hash + full Merkle build
 # ---------------------------------------------------------------------------
 
-_PERM_CACHE: dict = {}
 _FRI_PROGRAMS: dict = {}
 _ROWS_PROGRAMS: dict = {}
-
-
-def _perm_device(n: int):
-    if n not in _PERM_CACHE:
-        _PERM_CACHE[n] = jnp.asarray(bit_reverse_indices(n))
-    return _PERM_CACHE[n]
 
 
 def _alpha_device(alpha, fq_is_ext: bool):
@@ -326,22 +318,22 @@ def _alpha_device(alpha, fq_is_ext: bool):
             jnp.asarray(alpha.v >> 32, fd.U32))
 
 
-def _commit_rows_traced(evals, n: int, N: int, fq_is_ext: bool, perm,
+def _commit_rows_traced(evals, n: int, N: int, fq_is_ext: bool,
                         interpret: bool):
     """Traced body: bit-reverse, chunk into rows of N, row-hash, all levels."""
     from .ops import sha256_pallas as spl
 
     if fq_is_ext:
         rows = tuple(
-            (jnp.take(c[0], perm).reshape(n // N, N),
-             jnp.take(c[1], perm).reshape(n // N, N))
+            (permute_bitrev(c[0]).reshape(n // N, N),
+             permute_bitrev(c[1]).reshape(n // N, N))
             for c in evals)
         lanes = spl.hash_rows_ext3_lanes(
             *[(jnp.transpose(c[0]), jnp.transpose(c[1])) for c in rows],
             interpret=interpret)
     else:
-        rows = (jnp.take(evals[0], perm).reshape(n // N, N),
-                jnp.take(evals[1], perm).reshape(n // N, N))
+        rows = (permute_bitrev(evals[0]).reshape(n // N, N),
+                permute_bitrev(evals[1]).reshape(n // N, N))
         lanes = spl.hash_rows_fp_lanes(
             jnp.transpose(rows[0]), jnp.transpose(rows[1]),
             interpret=interpret)
@@ -351,8 +343,8 @@ def _commit_rows_traced(evals, n: int, N: int, fq_is_ext: bool, perm,
 def _fri_commit_program(n: int, N: int, fq_is_ext: bool, interpret: bool):
     key = ("commit", n, N, fq_is_ext, interpret)
     if key not in _FRI_PROGRAMS:
-        def prog(evals, perm):
-            return _commit_rows_traced(evals, n, N, fq_is_ext, perm, interpret)
+        def prog(evals):
+            return _commit_rows_traced(evals, n, N, fq_is_ext, interpret)
         _FRI_PROGRAMS[key] = jax.jit(prog)
     return _FRI_PROGRAMS[key]
 
@@ -363,7 +355,7 @@ def _fri_fold_commit_program(n: int, N: int, fq_is_ext: bool, interpret: bool):
         dom_n, dom_m = Domain(n), Domain(n // N)
         placeholder = fd.ones((1,))
 
-        def prog(evals, alpha, itbl, itmat, ipost, ftbl, ftmat, perm):
+        def prog(evals, alpha, itbl, itmat, ipost, ftbl, ftmat):
             if fq_is_ext:
                 coeffs = dom_n._ifft_ext3_impl(evals, itbl, placeholder, itmat,
                                                ipost)
@@ -377,7 +369,7 @@ def _fri_fold_commit_program(n: int, N: int, fq_is_ext: bool, interpret: bool):
                 out = dom_m._fft_fp_impl(folded, ftbl, placeholder, ftmat,
                                          placeholder)
             rows, levels = _commit_rows_traced(
-                out, n // N, N, fq_is_ext, perm, interpret)
+                out, n // N, N, fq_is_ext, interpret)
             return out, rows, levels
 
         _FRI_PROGRAMS[key] = jax.jit(prog)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import hash as H
-from .ntt import bit_reverse_indices
+from .ntt import permute_bitrev
 from .ops import sha256 as dsha
 
 
@@ -544,23 +544,24 @@ def tree_levels_lanes(lanes, interpret: bool = False) -> list:
     return levels
 
 
-def commit_matrix_fp_traced(lo, hi, perm, interpret: bool) -> list:
-    """Traced commit body (lanes path): row hash, leaf permutation, all tree
-    levels. Usable inside larger jitted programs."""
+def commit_matrix_fp_traced(lo, hi, bitrev: bool, interpret: bool) -> list:
+    """Traced commit body (lanes path): row hash, bit-reverse leaf
+    permutation, all tree levels. Usable inside larger jitted programs."""
     from .ops import sha256_pallas as spl
 
     lanes = spl.hash_rows_fp_lanes(lo, hi, interpret=interpret)
-    if perm is not None:
-        lanes = lanes[:, perm]
+    if bitrev:
+        lanes = permute_bitrev(lanes, axis=1)
     return tree_levels_lanes(lanes, interpret)
 
 
-def commit_matrix_ext3_traced(c0, c1, c2, perm, interpret: bool) -> list:
+def commit_matrix_ext3_traced(c0, c1, c2, bitrev: bool,
+                              interpret: bool) -> list:
     from .ops import sha256_pallas as spl
 
     lanes = spl.hash_rows_ext3_lanes(c0, c1, c2, interpret=interpret)
-    if perm is not None:
-        lanes = lanes[:, perm]
+    if bitrev:
+        lanes = permute_bitrev(lanes, axis=1)
     return tree_levels_lanes(lanes, interpret)
 
 
@@ -572,18 +573,14 @@ def _commit_program(kind: str, shape, bit_reversed_input: bool,
     relay round-trip per level)."""
     key = (kind, tuple(shape), bit_reversed_input, interpret)
     if key not in _COMMIT_PROGRAMS:
-        n = shape[1]
-        # numpy (not device) constant: embedding a device array into a jaxpr
-        # forces a device->host readback at lowering time
-        perm = (None if bit_reversed_input
-                else np.asarray(bit_reverse_indices(n)))
+        bitrev = not bit_reversed_input
 
         if kind == "fp":
             def prog(lo, hi):
-                return commit_matrix_fp_traced(lo, hi, perm, interpret)
+                return commit_matrix_fp_traced(lo, hi, bitrev, interpret)
         else:
             def prog(c0, c1, c2):
-                return commit_matrix_ext3_traced(c0, c1, c2, perm, interpret)
+                return commit_matrix_ext3_traced(c0, c1, c2, bitrev, interpret)
 
         _COMMIT_PROGRAMS[key] = jax.jit(prog)
     return _COMMIT_PROGRAMS[key]
@@ -599,13 +596,10 @@ def commit_matrix_fp(cols_lo, cols_hi, bit_reversed_input: bool = False,
     if hashfn is not H:
         key = ("rpo-fp", tuple(cols_lo.shape), bit_reversed_input)
         if key not in _COMMIT_PROGRAMS:
-            perm = (None if bit_reversed_input
-                    else np.asarray(bit_reverse_indices(cols_lo.shape[1])))
-
             def prog(lo, hi):
                 digests = hash_rows_fp_rpo(lo, hi)
-                if perm is not None:
-                    digests = digests[perm]
+                if not bit_reversed_input:
+                    digests = permute_bitrev(digests, axis=0)
                 return _rpo_tree_levels_traced(digests)
 
             _COMMIT_PROGRAMS[key] = jax.jit(prog)
@@ -618,8 +612,7 @@ def commit_matrix_fp(cols_lo, cols_hi, bit_reversed_input: bool = False,
         return CommittedMerkleTree(prog(cols_lo, cols_hi), device_lanes=True)
     digests = hash_rows_fp(cols_lo, cols_hi)
     if not bit_reversed_input:
-        perm = jnp.asarray(bit_reverse_indices(digests.shape[0]))
-        digests = digests[perm]
+        digests = permute_bitrev(digests, axis=0)
     return CommittedMerkleTree.from_leaf_words(digests)
 
 
@@ -628,13 +621,10 @@ def commit_matrix_ext3(c0, c1, c2, bit_reversed_input: bool = False,
     if hashfn is not H:
         key = ("rpo-ext3", tuple(c0[0].shape), bit_reversed_input)
         if key not in _COMMIT_PROGRAMS:
-            perm = (None if bit_reversed_input
-                    else np.asarray(bit_reverse_indices(c0[0].shape[1])))
-
             def prog(a0, a1, a2):
                 digests = hash_rows_ext3_rpo(a0, a1, a2)
-                if perm is not None:
-                    digests = digests[perm]
+                if not bit_reversed_input:
+                    digests = permute_bitrev(digests, axis=0)
                 return _rpo_tree_levels_traced(digests)
 
             _COMMIT_PROGRAMS[key] = jax.jit(prog)
@@ -647,6 +637,5 @@ def commit_matrix_ext3(c0, c1, c2, bit_reversed_input: bool = False,
         return CommittedMerkleTree(prog(c0, c1, c2), device_lanes=True)
     digests = hash_rows_ext3(c0, c1, c2)
     if not bit_reversed_input:
-        perm = jnp.asarray(bit_reverse_indices(digests.shape[0]))
-        digests = digests[perm]
+        digests = permute_bitrev(digests, axis=0)
     return CommittedMerkleTree.from_leaf_words(digests)

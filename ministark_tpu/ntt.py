@@ -55,10 +55,35 @@ def bit_reverse_index(n: int, i: int) -> int:
     return int(f"{i:0{log_n}b}"[::-1], 2) if log_n > 0 else 0
 
 
+# A flat n-element gather on TPU runs at ~0.12 Gelem/s at LDE scale; the
+# two-row-gather factorization below runs at ~2.1 (17x, benches/bitrev.py).
+# Below this size the extra reshuffles aren't worth the bookkeeping.
+_BITREV_FLAT_MAX = 1 << 12
+
+
+def permute_bitrev(t, axis: int = -1):
+    """Bit-reverse permutation of `t` along `axis`.
+
+    Large axes use the factorization bitrev_n(c*n1 + d) = bitrev_n1(d)*n2 +
+    bitrev_n2(c): reshape the axis to (n1, n2), gather ROWS by bitrev_n1,
+    swap the two axes, gather rows by bitrev_n2 — whole contiguous rows move
+    instead of single elements, which is 17x faster than one flat n-element
+    gather on TPU (benches/bitrev.py)."""
+    n = t.shape[axis]
+    if n <= _BITREV_FLAT_MAX:
+        return jnp.take(t, jnp.asarray(bit_reverse_indices(n)), axis=axis)
+    n1, n2 = _split_n(n)
+    ax = axis % t.ndim
+    lead, trail = t.shape[:ax], t.shape[ax + 1:]
+    y = t.reshape(*lead, n1, n2, *trail)
+    y = jnp.take(y, jnp.asarray(bit_reverse_indices(n1)), axis=ax)
+    y = jnp.swapaxes(y, ax, ax + 1)
+    y = jnp.take(y, jnp.asarray(bit_reverse_indices(n2)), axis=ax)
+    return y.reshape(*lead, n, *trail)
+
+
 def bit_reverse_fp(a: fd.Fp2, axis: int = -1) -> fd.Fp2:
-    n = a[0].shape[axis]
-    perm = jnp.asarray(bit_reverse_indices(n))
-    return (jnp.take(a[0], perm, axis=axis), jnp.take(a[1], perm, axis=axis))
+    return (permute_bitrev(a[0], axis), permute_bitrev(a[1], axis))
 
 
 def bit_reverse_ext3(a: fd.Ext3, axis: int = -1) -> fd.Ext3:

@@ -44,13 +44,9 @@ def _comp_commit_program(trace_len: int, cb: int, ce_dom, lde_dom,
     """Cached jitted program for the whole composition-commit phase:
     CE-domain iNTT, split into cb interleaved columns, coset NTT to the LDE
     domain, row hash, and every Merkle level — one device dispatch."""
-    from .ntt import bit_reverse_indices
-
     key = (trace_len, cb, ce_dom.size, ce_dom.offset, lde_dom.size,
            lde_dom.offset, fq_is_ext, interpret)
     if key not in _COMP_COMMIT_PROGRAMS:
-        perm = np.asarray(bit_reverse_indices(lde_dom.size))
-
         def prog(evals, itbl, iunscale, itmat, ipost, ftbl, fscale, ftmat,
                  fbrv):
             if fq_is_ext:
@@ -61,7 +57,7 @@ def _comp_commit_program(trace_len: int, cb: int, ce_dom, lde_dom,
                      c[1].reshape(trace_len, cb).T) for c in coeffs)
                 lde = lde_dom._fft_ext3_impl(polys, ftbl, fscale, ftmat, fbrv)
                 levels = merkle.commit_matrix_ext3_traced(
-                    lde[0], lde[1], lde[2], perm, interpret)
+                    lde[0], lde[1], lde[2], True, interpret)
             else:
                 coeffs = ce_dom._ifft_fp_impl(evals, itbl, iunscale, itmat,
                                               ipost)
@@ -69,7 +65,7 @@ def _comp_commit_program(trace_len: int, cb: int, ce_dom, lde_dom,
                          coeffs[1].reshape(trace_len, cb).T)
                 lde = lde_dom._fft_fp_impl(polys, ftbl, fscale, ftmat, fbrv)
                 levels = merkle.commit_matrix_fp_traced(
-                    lde[0], lde[1], perm, interpret)
+                    lde[0], lde[1], True, interpret)
             return lde, levels
 
         _COMP_COMMIT_PROGRAMS[key] = jax.jit(prog)

@@ -53,11 +53,21 @@ def cpu_no_persistent_cache():
     if not old:
         yield
         return
+    # Flipping the config alone is NOT enough: jax memoizes "is the cache
+    # used" process-wide on the first compile (compilation_cache._cache_checked),
+    # after which _get_cache_key ignores the config.  reset_cache() clears
+    # that memo (cheap — the disk cache itself is untouched) so the disabled
+    # config actually takes effect, and again on exit so later compiles
+    # re-enable it.
+    from jax._src import compilation_cache as _cc
+
+    _cc.reset_cache()
     jax.config.update("jax_enable_compilation_cache", False)
     try:
         yield
     finally:
         jax.config.update("jax_enable_compilation_cache", old)
+        _cc.reset_cache()
 
 
 class spmd_mode:

@@ -135,3 +135,23 @@ def test_bit_reverse_index():
     assert ntt.bit_reverse_index(16, 1) == 8
     perm = ntt.bit_reverse_indices(16)
     assert [perm[i] for i in range(16)] == [ntt.bit_reverse_index(16, i) for i in range(16)]
+
+
+def test_permute_bitrev_matches_flat_gather():
+    """The two-step row-gather factorization (active above _BITREV_FLAT_MAX)
+    must equal the flat bit-reverse gather, on every axis and for odd/even
+    log n (n1 != n2 splits)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    for n in (8, 1 << 13, 1 << 15):  # flat path, odd log, even log
+        flat_perm = np.asarray(ntt.bit_reverse_indices(n))
+        x = rng.integers(0, 1 << 32, n, np.uint64).astype(np.uint32)
+        got = np.asarray(ntt.permute_bitrev(jnp.asarray(x)))
+        assert np.array_equal(got, x[flat_perm]), n
+
+        # multi-dim, permuted axis in the middle (the (8, n) digest shape
+        # and the (n, 8) RPO leaf shape both reduce to this)
+        y = rng.integers(0, 1 << 32, (3, n, 2), np.uint64).astype(np.uint32)
+        got = np.asarray(ntt.permute_bitrev(jnp.asarray(y), axis=1))
+        assert np.array_equal(got, y[:, flat_perm, :]), n
