@@ -147,7 +147,8 @@ class FriProver:
         if not self.fq_is_ext:
             evals = evals[0]  # Fp2; c1/c2 are structurally zero
         N = self.options.folding_factor
-        if merkle._lanes_mode() is not None and self.hashfn is merkle.H:
+        if (merkle._lanes_mode() is not None and self.hashfn is merkle.H
+                and self.options.num_layers(n) >= 1):
             return self._build_layers_fused(channel, evals, n, N)
         for _ in range(self.options.num_layers(n)):
             evals = self._build_layer(channel, evals, n, N)
@@ -155,34 +156,39 @@ class FriProver:
         self._set_remainder(channel, evals, n)
 
     def _build_layers_fused(self, channel, evals, n: int, N: int):
-        """One device dispatch + one 32-byte root readback per layer (the
-        Fiat-Shamir minimum): layer i's program folds with alpha_{i-1}, then
-        bit-reverses, row-hashes and builds EVERY Merkle level in one jit."""
+        """The WHOLE FRI commit phase in ONE device dispatch: every fold,
+        every Merkle level of every layer, AND the Fiat-Shamir reseed/draw
+        steps between them (ops/coin.py) run on device.  The per-layer root
+        readbacks the protocol seems to force (alpha_i depends on root_i)
+        cost a relay round-trip each; moving the coin on-device removes them
+        all.  The host coin then replays the transcript from the L roots —
+        one small readback — and cross-checks every device-drawn alpha."""
+        from .ops import coin as dcoin
+
         interpret = merkle._lanes_mode() == "interpret"
         L = self.options.num_layers(n)
-        rows, levels = _fri_commit_program(
-            n, N, self.fq_is_ext, interpret)(evals)
-        self._append_layer(rows, levels)
-        channel.commit_fri_layer(self.layers[-1].tree.root())
-        for i in range(1, L + 1):
-            alpha = _alpha_device(channel.draw_fri_alpha(), self.fq_is_ext)
-            dom_n, dom_m = Domain(n), Domain(n // N)
-            args = (evals, alpha, dom_n._inv_tbl(), dom_n._inv_tmat(),
-                    dom_n._ipost_tbl(), dom_m._fwd_tbl(), dom_m._fwd_tmat())
-            if i < L:
-                evals, rows, levels = _fri_fold_commit_program(
-                    n, N, self.fq_is_ext, interpret)(*args)
-                self._append_layer(rows, levels)
-                channel.commit_fri_layer(self.layers[-1].tree.root())
-            else:
-                # the fold's output IS the remainder coefficient vector:
-                # the host path computes fft(folded) then ifft's it back
-                # (fold_evals_fp + _set_remainder), a device no-op here
-                coeffs = _fri_fold_ifft_program(n, N, self.fq_is_ext)(
-                    evals, alpha, dom_n._inv_tbl(), dom_n._inv_tmat(),
-                    dom_n._ipost_tbl())
-                self._finish_remainder(channel, coeffs, n // N)
-            n //= N
+        prog = _fri_pipeline_program(n, N, L, self.fq_is_ext, interpret)
+        layers_out, remainder, packed = prog(
+            evals, dcoin.seed_to_words(channel.public_coin.seed),
+            _fri_pipeline_tables(n, N, L))
+        for rows, levels in layers_out:
+            self._append_layer(rows, levels)
+        blk = np.asarray(packed, np.uint32)  # (L, 8 + 2k): root words, alphas
+        k = 3 if self.fq_is_ext else 1
+        for i in range(L):
+            root = b"".join(int(w).to_bytes(4, "big") for w in blk[i, :8])
+            self.layers[i].tree._root = root
+            channel.commit_fri_layer(root)
+            host_alpha = channel.draw_fri_alpha()
+            dev = [int(blk[i, 8 + 2 * j]) | (int(blk[i, 9 + 2 * j]) << 32)
+                   for j in range(k)]
+            host = ([host_alpha.c0.v, host_alpha.c1.v, host_alpha.c2.v]
+                    if self.fq_is_ext else [host_alpha.v])
+            if dev != host:
+                raise AssertionError(
+                    f"device coin diverged from host replay at FRI layer {i}:"
+                    f" {dev} != {host}")
+        self._finish_remainder(channel, remainder, n // N ** L)
 
     def _append_layer(self, rows, levels):
         tree = merkle.CommittedMerkleTree(levels, device_lanes=True)
@@ -340,59 +346,74 @@ def _commit_rows_traced(evals, n: int, N: int, fq_is_ext: bool,
     return rows, merkle.tree_levels_lanes(lanes, interpret)
 
 
-def _fri_commit_program(n: int, N: int, fq_is_ext: bool, interpret: bool):
-    key = ("commit", n, N, fq_is_ext, interpret)
-    if key not in _FRI_PROGRAMS:
-        def prog(evals):
-            return _commit_rows_traced(evals, n, N, fq_is_ext, interpret)
-        _FRI_PROGRAMS[key] = jax.jit(prog)
-    return _FRI_PROGRAMS[key]
+def _fri_pipeline_tables(n: int, N: int, L: int):
+    """Per-layer NTT tables, built OUTSIDE the trace (powers() cache
+    discipline) and passed as jit args so reseeding never recompiles."""
+    tbls = []
+    for i in range(L):
+        dom_n, dom_m = Domain(n // N ** i), Domain(n // N ** (i + 1))
+        tbls.append((dom_n._inv_tbl(), dom_n._inv_tmat(), dom_n._ipost_tbl(),
+                     dom_m._fwd_tbl(), dom_m._fwd_tmat()))
+    return tbls
 
 
-def _fri_fold_commit_program(n: int, N: int, fq_is_ext: bool, interpret: bool):
-    key = ("foldcommit", n, N, fq_is_ext, interpret)
+def _fri_pipeline_program(n: int, N: int, L: int, fq_is_ext: bool,
+                          interpret: bool):
+    """ONE jitted program for the whole FRI commit phase (L >= 1 layers):
+
+      commit layer 0 -> reseed(root_0) -> draw alpha_0 -> fold ->
+      commit layer 1 -> ... -> final fold (= remainder coefficients).
+
+    The remainder-layer fold needs no forward NTT: the host path computes
+    fft(folded) then ifft's it straight back (_set_remainder), so the folded
+    chunk vector IS the remainder coefficient vector.  Returns the layers'
+    (rows, levels) device arrays, the remainder coeffs, and one packed
+    (L, 8 + 2k) u32 array of [root words | alpha limbs] per layer — the
+    only bytes the host needs, in a single transfer."""
+    key = ("pipeline", n, N, L, fq_is_ext, interpret)
     if key not in _FRI_PROGRAMS:
-        dom_n, dom_m = Domain(n), Domain(n // N)
+        from .ops import coin as dcoin
+
+        doms = [(Domain(n // N ** i), Domain(n // N ** (i + 1)))
+                for i in range(L)]
         placeholder = fd.ones((1,))
 
-        def prog(evals, alpha, itbl, itmat, ipost, ftbl, ftmat):
-            if fq_is_ext:
-                coeffs = dom_n._ifft_ext3_impl(evals, itbl, placeholder, itmat,
-                                               ipost)
-                folded = _fold_body_ext3(coeffs, alpha, N)
-                out = dom_m._fft_ext3_impl(folded, ftbl, placeholder, ftmat,
-                                           placeholder)
-            else:
-                coeffs = dom_n._ifft_fp_impl(evals, itbl, placeholder, itmat,
-                                             ipost)
-                folded = _fold_body_fp(coeffs, alpha, N)
-                out = dom_m._fft_fp_impl(folded, ftbl, placeholder, ftmat,
-                                         placeholder)
-            rows, levels = _commit_rows_traced(
-                out, n // N, N, fq_is_ext, interpret)
-            return out, rows, levels
-
-        _FRI_PROGRAMS[key] = jax.jit(prog)
-    return _FRI_PROGRAMS[key]
-
-
-def _fri_fold_ifft_program(n: int, N: int, fq_is_ext: bool):
-    """Final fold: iNTT at n then alpha-fold — the folded chunk vector IS
-    the remainder coefficient vector (the host path's fft+ifft pair around
-    it cancels)."""
-    key = ("foldifft", n, N, fq_is_ext)
-    if key not in _FRI_PROGRAMS:
-        dom_n = Domain(n)
-        placeholder = fd.ones((1,))
-
-        def prog(evals, alpha, itbl, itmat, ipost):
-            if fq_is_ext:
-                coeffs = dom_n._ifft_ext3_impl(evals, itbl, placeholder, itmat,
-                                               ipost)
-                return _fold_body_ext3(coeffs, alpha, N)
-            coeffs = dom_n._ifft_fp_impl(evals, itbl, placeholder, itmat,
-                                         ipost)
-            return _fold_body_fp(coeffs, alpha, N)
+        def prog(evals, seed_words, tbls):
+            rows, levels = _commit_rows_traced(evals, n, N, fq_is_ext,
+                                               interpret)
+            out_layers = [(rows, levels)]
+            seed = dcoin.reseed(seed_words, levels[-1][:, 0])
+            alpha_words = []
+            m = n
+            for i in range(1, L + 1):
+                dom_n, dom_m = doms[i - 1]
+                itbl, itmat, ipost, ftbl, ftmat = tbls[i - 1]
+                draws = dcoin.draw_fps(seed, 3 if fq_is_ext else 1)
+                alpha_words.append(jnp.stack(
+                    [w for d in draws for w in d]))
+                if fq_is_ext:
+                    alpha = (draws[0], draws[1], draws[2])
+                    coeffs = dom_n._ifft_ext3_impl(evals, itbl, placeholder,
+                                                   itmat, ipost)
+                    folded = _fold_body_ext3(coeffs, alpha, N)
+                else:
+                    coeffs = dom_n._ifft_fp_impl(evals, itbl, placeholder,
+                                                 itmat, ipost)
+                    folded = _fold_body_fp(coeffs, draws[0], N)
+                if i < L:
+                    fft = (dom_m._fft_ext3_impl if fq_is_ext
+                           else dom_m._fft_fp_impl)
+                    evals = fft(folded, ftbl, placeholder, ftmat, placeholder)
+                    rows, levels = _commit_rows_traced(
+                        evals, m // N, N, fq_is_ext, interpret)
+                    out_layers.append((rows, levels))
+                    seed = dcoin.reseed(seed, levels[-1][:, 0])
+                else:
+                    remainder = folded
+                m //= N
+            roots = jnp.stack([lv[-1][:, 0] for _, lv in out_layers])
+            packed = jnp.concatenate([roots, jnp.stack(alpha_words)], axis=1)
+            return out_layers, remainder, packed
 
         _FRI_PROGRAMS[key] = jax.jit(prog)
     return _FRI_PROGRAMS[key]

@@ -15,24 +15,27 @@ from ministark_tpu.fields.scalar import Fp, Fq3, P
 from ministark_tpu.fri import FriOptions, FriProver
 
 
-class _StubChannel:
-    """Deterministic Fiat-Shamir stand-in: fixed alpha sequence."""
+class _CoinChannel:
+    """Minimal real-transcript channel (ProverChannel minus the Air): the
+    fused pipeline derives alphas ON DEVICE from the same seed, so both
+    paths must walk identical coin states for the roots to agree."""
 
-    def __init__(self, alphas):
-        self.alphas = list(alphas)
-        self.i = 0
+    def __init__(self, fq):
+        from ministark_tpu.random import PublicCoin
+
+        self.public_coin = PublicCoin(b"\x42" * 32, field=fq)
         self.roots = []
         self.remainder = None
 
     def commit_fri_layer(self, root: bytes):
+        self.public_coin.reseed_with_digest(root)
         self.roots.append(root)
 
     def draw_fri_alpha(self):
-        a = self.alphas[self.i % len(self.alphas)]
-        self.i += 1
-        return a
+        return self.public_coin.draw()
 
     def commit_remainder(self, remainder_coeffs):
+        self.public_coin.reseed_with_field_element_vector(remainder_coeffs)
         self.remainder = list(remainder_coeffs)
 
 
@@ -66,26 +69,25 @@ def test_fused_layers_match_host(monkeypatch, no_persistent_cache, fq_is_ext):
     if fq_is_ext:
         evals = tuple(_rand_codeword_fp(rng, n, opts.blowup_factor)
                       for _ in range(3))
-        alphas = [Fq3(3, 5, 7), Fq3(11, 13, 17)]
         fq = Fq3
     else:
         import jax.numpy as jnp
 
         z = (jnp.zeros((n,), jnp.uint32), jnp.zeros((n,), jnp.uint32))
         evals = (_rand_codeword_fp(rng, n, opts.blowup_factor), z, z)
-        alphas = [Fp(12345), Fp(67890)]
         fq = Fp
 
     # host path (CPU default)
-    ch1 = _StubChannel(alphas)
+    ch1 = _CoinChannel(fq)
     p1 = FriProver(opts, fq_is_ext)
     p1.build_layers(ch1, evals)
     positions = sorted({int(v) for v in rng.integers(0, n, 9)})
     proof1 = p1.into_proof(positions)
 
-    # fused path (lanes pipeline in interpret mode)
+    # fused path (lanes pipeline in interpret mode); the pipeline's on-device
+    # coin must reproduce the host draws or its internal cross-check raises
     monkeypatch.setenv("MINISTARK_TPU_LANES", "interpret")
-    ch2 = _StubChannel(alphas)
+    ch2 = _CoinChannel(fq)
     p2 = FriProver(opts, fq_is_ext)
     p2.build_layers(ch2, evals)
     proof2 = p2.into_proof(positions)
