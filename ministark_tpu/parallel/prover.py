@@ -71,12 +71,16 @@ class _ShardedTrace:
 
 
 class _ShardedStark:
-    """Stark proxy that shards the generated trace before proving."""
+    """Stark proxy that shards the generated trace before proving and
+    carries the hand-scheduled shard_map executor for the hot phases."""
 
     def __init__(self, inner, mesh: Mesh, axis: str):
         self._inner = inner
         self._mesh = mesh
         self._axis = axis
+        from .executor import ShardedExecutor
+
+        self.sharded_executor = ShardedExecutor(mesh, axis)
 
     def generate_trace(self, witness):
         return _ShardedTrace(self._inner.generate_trace(witness),
@@ -89,14 +93,17 @@ class _ShardedStark:
 def prove_sharded(stark, options, witness, mesh: Mesh, axis: str = "col",
                   validate: bool = False):
     """Prove on a device mesh; returns a Proof byte-identical to
-    ``stark.prove(options, witness)`` on one chip."""
+    ``stark.prove(options, witness)`` on one chip.
+
+    Hot phases (LDE+commit, FRI folds and layer commits) run as
+    hand-scheduled shard_map programs whose per-chip bodies use the SAME
+    fused Pallas paths as the single-chip prover (parallel/executor.py);
+    the remaining phases (constraint eval, composition commit, DEEP) run
+    under ``spmd_mode``: GSPMD auto-partitions them from the operand
+    shardings with Pallas/host-callback paths disabled (GSPMD cannot
+    partition pallas_call over mesh-sharded operands, and callbacks abort
+    when operands arrive sharded).  Program caches key on runtime.spmd(),
+    so single-chip executables are not clobbered."""
     proxy = _ShardedStark(stark, mesh, axis)
-    # no mesh context needed: the inputs carry NamedShardings, and jit
-    # partitions every phase program from operand shardings alone.
-    # spmd_mode forces partitionable paths in EVERY phase program: no
-    # pallas_call (GSPMD cannot partition it over sharded operands) and no
-    # host callbacks (they abort when operands arrive sharded).  Program
-    # caches key on runtime.spmd(), so single-chip executables are not
-    # clobbered.
     with runtime.spmd_mode():
         return prover.default_prove(proxy, options, witness, validate=validate)

@@ -97,13 +97,25 @@ def _default_prove(stark, options: ProofOptions, witness, validate: bool) -> Pro
     trace_dom = air.trace_domain()
     lde_dom = air.lde_domain()
 
+    # Hand-scheduled multi-chip executor (parallel/executor.py): when the
+    # proving Stark carries one, the hot LDE+commit phases run as shard_map
+    # programs with Pallas kernels on local shards instead of the GSPMD
+    # auto-partitioned XLA paths.
+    executor = getattr(stark, "sharded_executor", None)
+    use_ex_commit = (executor is not None and hashfn is H
+                     and executor.commit_supported(lde_dom.size))
+
     # -- phase 1: base trace commit (src/prover.rs:45-55) --------------------
     with Timer("Base trace commitment"):
         assert air.config.NUM_BASE_COLUMNS == base_trace.num_cols
-        base_polys = base_trace.interpolate(trace_dom)
-        base_lde = base_polys.evaluate(lde_dom)  # natural order
-        base_tree = merkle.commit_matrix_fp(base_lde.lo, base_lde.hi,
-                                            hashfn=hashfn)
+        if use_ex_commit:
+            base_lde, base_tree = executor.lde_commit_fp(
+                base_trace, trace_dom, lde_dom)
+        else:
+            base_polys = base_trace.interpolate(trace_dom)
+            base_lde = base_polys.evaluate(lde_dom)  # natural order
+            base_tree = merkle.commit_matrix_fp(base_lde.lo, base_lde.hi,
+                                                hashfn=hashfn)
     channel.commit_base_trace(base_tree.root())
 
     challenges = Challenges(channel.public_coin.draw_multiple(air.num_challenges()))
@@ -116,11 +128,15 @@ def _default_prove(stark, options: ProofOptions, witness, validate: bool) -> Pro
         assert getattr(air.config, "NUM_EXTENSION_COLUMNS", 0) == num_ext
         ext_polys = ext_lde = ext_tree = None
         if ext_trace is not None:
-            ext_polys = ext_trace.interpolate(trace_dom)
-            ext_lde = ext_polys.evaluate(lde_dom)
-            e = ext_lde.as_ext3()
-            ext_tree = merkle.commit_matrix_ext3(e[0], e[1], e[2],
-                                                 hashfn=hashfn)
+            if use_ex_commit:
+                ext_lde, ext_tree = executor.lde_commit_ext3(
+                    ext_trace, trace_dom, lde_dom)
+            else:
+                ext_polys = ext_trace.interpolate(trace_dom)
+                ext_lde = ext_polys.evaluate(lde_dom)
+                e = ext_lde.as_ext3()
+                ext_tree = merkle.commit_matrix_ext3(e[0], e[1], e[2],
+                                                     hashfn=hashfn)
             channel.commit_extension_trace(ext_tree.root())
 
     if validate:
@@ -198,14 +214,17 @@ def _default_prove(stark, options: ProofOptions, witness, validate: bool) -> Pro
             folding_factor=options.fri_folding_factor,
             max_remainder_coeffs=options.fri_max_remainder_coeffs,
             blowup_factor=options.lde_blowup_factor)
-        fri_prover = FriProver(fri_options, fq_is_ext, hashfn=hashfn)
+        fri_prover = FriProver(fri_options, fq_is_ext, hashfn=hashfn,
+                               executor=executor)
         fri_prover.build_layers(channel, deep_lde)
 
     # -- phase 6: PoW + queries (src/prover.rs:157-173) ----------------------
     with Timer("Proof of work"):
-        coin_is_sha = channel.public_coin.hashfn is H
-        channel.grind_fri_commitments(
-            grinder=dpow.grind if coin_is_sha else None)
+        from . import hash_rpo
+        coin_hash = channel.public_coin.hashfn
+        grinder = (dpow.grind if coin_hash is H
+                   else dpow.grind_rpo if coin_hash is hash_rpo else None)
+        channel.grind_fri_commitments(grinder=grinder)
 
     query_positions = channel.get_fri_query_positions()
     with Timer("FRI decommit"):
@@ -235,8 +254,11 @@ def build_queries(air, base_lde, ext_lde, comp_lde, base_tree, ext_tree,
     """Decommit trace rows at bit-reversed query positions
     (src/trace.rs:114-157).  On the lanes (TPU) path ALL three matrices'
     rows and all three trees' Merkle nodes come back in ONE device
-    round-trip (merkle.fetch_bundle)."""
-    if base_tree.device_lanes:
+    round-trip (merkle.fetch_bundle).  Requires EVERY tree device-resident
+    (the sharded prover mixes executor-built lanes trees with host-numpy
+    GSPMD ones — those decommit per-tree below)."""
+    trees = [base_tree, comp_tree] + ([ext_tree] if ext_tree else [])
+    if all(t.device_lanes for t in trees):
         return _build_queries_bundled(
             air, base_lde, ext_lde, comp_lde, base_tree, ext_tree,
             comp_tree, positions)

@@ -83,3 +83,23 @@ class spmd_mode:
         global _spmd
         _spmd = self._old
         return False
+
+
+class spmd_off:
+    """Temporarily clear the SPMD flag: used by the hand-scheduled
+    shard_map executor (parallel/executor.py) while tracing its PER-CHIP
+    programs — inside shard_map each chip runs ordinary single-device code,
+    so the Pallas kernels ARE legal there and the trace-time gates
+    (`fused_ok`, `ntt._use_pallas`, `merkle._lanes_mode`) must not veto
+    them even though the surrounding prove runs under ``spmd_mode``."""
+
+    def __enter__(self):
+        global _spmd
+        self._old = _spmd
+        _spmd = False
+        return self
+
+    def __exit__(self, *exc):
+        global _spmd
+        _spmd = self._old
+        return False
