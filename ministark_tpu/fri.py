@@ -134,20 +134,32 @@ class FriProver:
     commit boundaries.
     """
 
-    def __init__(self, options: FriOptions, fq_is_ext: bool, hashfn=None):
+    def __init__(self, options: FriOptions, fq_is_ext: bool, hashfn=None,
+                 executor=None):
         self.options = options
         self.fq_is_ext = fq_is_ext
         self.hashfn = hashfn if hashfn is not None else merkle.H
+        self.executor = executor  # parallel/executor.py ShardedExecutor
         self.layers: list[_Layer] = []
         self.remainder_coeffs: list = []
 
     def build_layers(self, channel, evals: fd.Ext3):
+        from . import hash_rpo
+
         assert not self.layers
         n = evals[0][0].shape[-1]
         if not self.fq_is_ext:
             evals = evals[0]  # Fp2; c1/c2 are structurally zero
         N = self.options.folding_factor
-        if (merkle._lanes_mode() is not None and self.hashfn is merkle.H
+        # The fused pipeline's on-device Fiat-Shamir coin speaks SHA-256;
+        # RPO-coin configurations take the per-layer path (one root
+        # readback per layer — the coin reseed is the host's).  RPO TREES
+        # fuse fine: the device tree build is plain jnp (einsum MDS) and
+        # the device coin absorbs the RPO root's raw bytes.
+        coin_is_sha = getattr(channel.public_coin, "hashfn", None) is merkle.H
+        if (merkle._lanes_mode() is not None and coin_is_sha
+                and self.executor is None
+                and self.hashfn in (merkle.H, hash_rpo)
                 and self.options.num_layers(n) >= 1):
             return self._build_layers_fused(channel, evals, n, N)
         for _ in range(self.options.num_layers(n)):
@@ -166,8 +178,9 @@ class FriProver:
         from .ops import coin as dcoin
 
         interpret = merkle._lanes_mode() == "interpret"
+        rpo = self.hashfn is not merkle.H
         L = self.options.num_layers(n)
-        prog = _fri_pipeline_program(n, N, L, self.fq_is_ext, interpret)
+        prog = _fri_pipeline_program(n, N, L, self.fq_is_ext, interpret, rpo)
         layers_out, remainder, packed = prog(
             evals, dcoin.seed_to_words(channel.public_coin.seed),
             _fri_pipeline_tables(n, N, L))
@@ -175,8 +188,10 @@ class FriProver:
             self._append_layer(rows, levels)
         blk = np.asarray(packed, np.uint32)  # (L, 8 + 2k): root words, alphas
         k = 3 if self.fq_is_ext else 1
+        byteorder = "little" if rpo else "big"
         for i in range(L):
-            root = b"".join(int(w).to_bytes(4, "big") for w in blk[i, :8])
+            root = b"".join(int(w).to_bytes(4, byteorder)
+                            for w in blk[i, :8])
             self.layers[i].tree._root = root
             channel.commit_fri_layer(root)
             host_alpha = channel.draw_fri_alpha()
@@ -191,7 +206,8 @@ class FriProver:
         self._finish_remainder(channel, remainder, n // N ** L)
 
     def _append_layer(self, rows, levels):
-        tree = merkle.CommittedMerkleTree(levels, device_lanes=True)
+        tree = merkle.CommittedMerkleTree(levels, hashfn=self.hashfn,
+                                          device_lanes=True)
         if self.fq_is_ext:
             c0, c1, c2 = rows
         else:
@@ -211,6 +227,9 @@ class FriProver:
 
     def _commit_layer(self, evals, n: int, N: int):
         """Commit to bit-reversed evals chunked into rows of N."""
+        if (self.executor is not None and self.hashfn is merkle.H
+                and self.executor.fri_commit_supported(n, N)):
+            return self.executor.fri_commit_layer(evals, n, N, self.fq_is_ext)
         rpo = self.hashfn is not merkle.H
         if self.fq_is_ext:
             bitrev = bit_reverse_ext3(evals)
@@ -238,6 +257,9 @@ class FriProver:
         self.layers.append(_Layer(tree, c0, c1, c2, self.fq_is_ext))
 
         alpha = channel.draw_fri_alpha()
+        if (self.executor is not None
+                and self.executor.fri_fold_supported(n, N)):
+            return self.executor.fri_fold(evals, n, N, alpha, self.fq_is_ext)
         if self.fq_is_ext:
             return fold_evals(evals, n, N, alpha)
         return fold_evals_fp(evals, n, N, alpha)
@@ -258,7 +280,7 @@ class FriProver:
 
     def into_proof(self, positions: list[int]) -> FriProof:
         N = self.options.folding_factor
-        if self.layers and self.layers[0].tree.device_lanes:
+        if self.layers and all(l.tree.device_lanes for l in self.layers):
             return self._into_proof_bundled(positions, N)
         proof_layers = []
         pos = list(positions)
@@ -325,8 +347,10 @@ def _alpha_device(alpha, fq_is_ext: bool):
 
 
 def _commit_rows_traced(evals, n: int, N: int, fq_is_ext: bool,
-                        interpret: bool):
-    """Traced body: bit-reverse, chunk into rows of N, row-hash, all levels."""
+                        interpret: bool, rpo: bool = False):
+    """Traced body: bit-reverse, chunk into rows of N, row-hash, all levels.
+    `rpo` selects the RPO-256 device tree (einsum MDS, lane-major levels —
+    the same layout, so the decommit machinery is shared)."""
     from .ops import sha256_pallas as spl
 
     if fq_is_ext:
@@ -334,12 +358,18 @@ def _commit_rows_traced(evals, n: int, N: int, fq_is_ext: bool,
             (permute_bitrev(c[0]).reshape(n // N, N),
              permute_bitrev(c[1]).reshape(n // N, N))
             for c in evals)
-        lanes = spl.hash_rows_ext3_lanes(
-            *[(jnp.transpose(c[0]), jnp.transpose(c[1])) for c in rows],
-            interpret=interpret)
+        cols = [(jnp.transpose(c[0]), jnp.transpose(c[1])) for c in rows]
+        if rpo:
+            return rows, merkle._rpo_tree_levels_traced(
+                merkle.hash_rows_ext3_rpo(*cols))
+        lanes = spl.hash_rows_ext3_lanes(*cols, interpret=interpret)
     else:
         rows = (permute_bitrev(evals[0]).reshape(n // N, N),
                 permute_bitrev(evals[1]).reshape(n // N, N))
+        if rpo:
+            return rows, merkle._rpo_tree_levels_traced(
+                merkle.hash_rows_fp_rpo(jnp.transpose(rows[0]),
+                                        jnp.transpose(rows[1])))
         lanes = spl.hash_rows_fp_lanes(
             jnp.transpose(rows[0]), jnp.transpose(rows[1]),
             interpret=interpret)
@@ -358,7 +388,7 @@ def _fri_pipeline_tables(n: int, N: int, L: int):
 
 
 def _fri_pipeline_program(n: int, N: int, L: int, fq_is_ext: bool,
-                          interpret: bool):
+                          interpret: bool, rpo: bool = False):
     """ONE jitted program for the whole FRI commit phase (L >= 1 layers):
 
       commit layer 0 -> reseed(root_0) -> draw alpha_0 -> fold ->
@@ -370,19 +400,26 @@ def _fri_pipeline_program(n: int, N: int, L: int, fq_is_ext: bool,
     (rows, levels) device arrays, the remainder coeffs, and one packed
     (L, 8 + 2k) u32 array of [root words | alpha limbs] per layer — the
     only bytes the host needs, in a single transfer."""
-    key = ("pipeline", n, N, L, fq_is_ext, interpret)
+    key = ("pipeline", n, N, L, fq_is_ext, interpret, rpo)
     if key not in _FRI_PROGRAMS:
         from .ops import coin as dcoin
+        from .ops import sha256 as dsha
 
         doms = [(Domain(n // N ** i), Domain(n // N ** (i + 1)))
                 for i in range(L)]
         placeholder = fd.ones((1,))
 
+        def root_for_coin(levels):
+            # the coin absorbs the digest's raw 32 bytes; SHA levels hold
+            # big-endian stream words, RPO levels little-endian ones
+            root = levels[-1][:, 0]
+            return dsha.byteswap32(root) if rpo else root
+
         def prog(evals, seed_words, tbls):
             rows, levels = _commit_rows_traced(evals, n, N, fq_is_ext,
-                                               interpret)
+                                               interpret, rpo)
             out_layers = [(rows, levels)]
-            seed = dcoin.reseed(seed_words, levels[-1][:, 0])
+            seed = dcoin.reseed(seed_words, root_for_coin(levels))
             alpha_words = []
             m = n
             for i in range(1, L + 1):
@@ -405,9 +442,9 @@ def _fri_pipeline_program(n: int, N: int, L: int, fq_is_ext: bool,
                            else dom_m._fft_fp_impl)
                     evals = fft(folded, ftbl, placeholder, ftmat, placeholder)
                     rows, levels = _commit_rows_traced(
-                        evals, m // N, N, fq_is_ext, interpret)
+                        evals, m // N, N, fq_is_ext, interpret, rpo)
                     out_layers.append((rows, levels))
-                    seed = dcoin.reseed(seed, levels[-1][:, 0])
+                    seed = dcoin.reseed(seed, root_for_coin(levels))
                 else:
                     remainder = folded
                 m //= N

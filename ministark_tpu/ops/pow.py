@@ -47,3 +47,64 @@ def grind(seed: bytes, bits: int) -> int:
         if idx >= 0:
             return start + idx
         start += _BATCH
+
+
+# -- RPO-coin grind (hash_rpo.merge_with_int semantics) ----------------------
+
+_RPO_BATCH = 1 << 13  # 12-wide state + 14 MDS einsums per permute: heavier
+
+
+@jax.jit
+def _grind_rpo_batch(seed_lo, seed_hi, start_hi, start_lo, bits):
+    """RPO PoW: digest = rpo_permute(state) with state[0]=1 (padding flag),
+    rate = [seed digest elems | nonce_lo32 | nonce_hi32 | 1 | 0]
+    (hash_rpo.merge_with_int).  Leading zeros count the digest's canonical
+    LE byte stream, so each u64 element contributes byteswap32(lo) then
+    byteswap32(hi) to the big-endian word view."""
+    from . import rpo256
+
+    n = _RPO_BATCH
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    nlo = start_lo + idx
+    carry = (nlo < start_lo).astype(jnp.uint32)
+    nhi = start_hi + carry
+
+    lo = jnp.zeros((n, rpo256.STATE_WIDTH), jnp.uint32)
+    hi = jnp.zeros((n, rpo256.STATE_WIDTH), jnp.uint32)
+    lo = lo.at[:, 0].set(1)  # 6 rate elements -> padding rule applies
+    for i in range(4):
+        lo = lo.at[:, rpo256.CAPACITY + i].set(seed_lo[i])
+        hi = hi.at[:, rpo256.CAPACITY + i].set(seed_hi[i])
+    lo = lo.at[:, 8].set(nlo)   # nonce as two u32 field elements
+    lo = lo.at[:, 9].set(nhi)
+    lo = lo.at[:, 10].set(1)    # padding: single 1 then zeros
+    dg = rpo256.digest(rpo256.permute((lo, hi)))  # (n, 4) limb pairs
+
+    words = jnp.stack(
+        [dsha.byteswap32(dg[0][:, i // 2]) if i % 2 == 0
+         else dsha.byteswap32(dg[1][:, i // 2]) for i in range(8)], axis=-1)
+    lz = dsha.leading_zero_bits(words)
+    ok = lz >= bits
+    first = jnp.argmax(ok)
+    return jnp.where(jnp.any(ok), first, -1)
+
+
+def grind_rpo(seed: bytes, bits: int) -> int:
+    """Smallest nonce >= 1 with leading_zeros(rpo_merge_with_int(seed,
+    nonce)) >= bits — the device grind for RPO-coin configurations (the
+    host fallback is a pure-Python permutation per nonce: ~1 ms each,
+    untenable at the reference's grind-20 workloads)."""
+    vals = [int.from_bytes(seed[8 * i:8 * i + 8], "little") for i in range(4)]
+    seed_lo = jnp.asarray(np.array([v & 0xFFFFFFFF for v in vals], np.uint32))
+    seed_hi = jnp.asarray(np.array([v >> 32 for v in vals], np.uint32))
+    start = 1
+    while True:
+        idx = int(_grind_rpo_batch(
+            seed_lo, seed_hi,
+            jnp.uint32(start >> 32),
+            jnp.uint32(start & 0xFFFFFFFF),
+            jnp.int32(bits),
+        ))
+        if idx >= 0:
+            return start + idx
+        start += _RPO_BATCH

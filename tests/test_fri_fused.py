@@ -190,3 +190,35 @@ def test_fused_commit_matches_host(monkeypatch, no_persistent_cache):
     monkeypatch.setenv("MINISTARK_TPU_LANES", "interpret")
     t4 = merkle.commit_matrix_ext3(c0, c1, c2)
     assert t3.root() == t4.root()
+
+
+@pytest.mark.slow
+def test_fused_layers_rpo_trees_match_host(monkeypatch, no_persistent_cache):
+    """Fused FRI pipeline with RPO-256 layer trees (SHA coin): identical
+    roots/rows/proof bytes to the per-layer host path."""
+    from ministark_tpu import hash_rpo
+
+    rng = np.random.default_rng(11)
+    n, N = 1 << 9, 4
+    opts = FriOptions(folding_factor=N, max_remainder_coeffs=16,
+                      blowup_factor=4)
+    evals = _rand_codeword_fp(rng, n, opts.blowup_factor)
+    import jax.numpy as jnp
+    z = (jnp.zeros((n,), jnp.uint32), jnp.zeros((n,), jnp.uint32))
+    triple = (evals, z, z)
+
+    ch1 = _CoinChannel(Fp)
+    p1 = FriProver(opts, False, hashfn=hash_rpo)
+    p1.build_layers(ch1, triple)
+    positions = sorted({int(v) for v in rng.integers(0, n, 9)})
+    proof1 = p1.into_proof(positions)
+
+    monkeypatch.setenv("MINISTARK_TPU_LANES", "interpret")
+    ch2 = _CoinChannel(Fp)
+    p2 = FriProver(opts, False, hashfn=hash_rpo)
+    p2.build_layers(ch2, triple)
+    proof2 = p2.into_proof(positions)
+
+    assert ch1.roots == ch2.roots
+    assert ch1.remainder == ch2.remainder
+    assert _proof_bytes(proof1, Fp) == _proof_bytes(proof2, Fp)

@@ -65,3 +65,46 @@ def test_rpo_tree_matches_host_hash():
                        [[Fp(int(vals[c, i])) for c in range(ncols)]
                         for i in (0, 5, 63)],
                        view, hashfn=hash_rpo)
+
+
+class FibClaimRpoFull(FibClaim):
+    """Fully algebraic transcript: RPO Merkle trees AND RPO public coin
+    (both associated-type knobs, src/stark.rs:25-35)."""
+    from ministark_tpu import hash_rpo as _rpo
+    merkle_hash = _rpo
+    coin_hash = _rpo
+
+
+@pytest.mark.slow
+def test_rpo_coin_and_merkle_prove_verify_roundtrip():
+    trace = gen_trace(128)
+    claim = FibClaimRpoFull(trace.last_value())
+    opts = ProofOptions(num_queries=8, lde_blowup_factor=4,
+                        grinding_factor=3, fri_folding_factor=4,
+                        fri_max_remainder_coeffs=4)
+    proof = claim.prove(opts, trace)
+    data = proof.to_bytes(Fp)
+    claim.verify(Proof.from_bytes(data, Fp, Fp), 8)
+
+    # transcripts are incompatible with the SHA-coin config
+    sha_claim = FibClaim(trace.last_value())
+    with pytest.raises(VerificationError):
+        sha_claim.verify(Proof.from_bytes(data, Fp, Fp), 8)
+
+
+def test_device_rpo_grind_matches_host_verify():
+    """ops/pow.grind_rpo must produce a nonce the host RPO coin accepts,
+    and must find the same smallest nonce as the host grind."""
+    from ministark_tpu.ops import pow as dpow
+    from ministark_tpu.random import PublicCoin
+
+    seed = bytes(range(32))
+    bits = 6
+    nonce = dpow.grind_rpo(seed, bits)
+    coin = PublicCoin(seed, hashfn=hash_rpo)
+    assert coin.verify_proof_of_work(bits, nonce)
+    # host smallest-nonce scan agrees (tiny bits => a few iterations)
+    host = 1
+    while not coin.verify_proof_of_work(bits, host):
+        host += 1
+    assert nonce == host
