@@ -1,21 +1,28 @@
-"""Driver benchmark: prints ONE JSON line.
+"""Driver benchmark: prints one JSON line PER METRIC.
 
-Metric: 2^22-point Goldilocks coset NTT throughput on one chip (BASELINE.md
-kernel metric).  Variance control (the axon relay adds per-dispatch noise
-that swamped earlier rounds' numbers — 273 vs 616 Melem/s for the same
-code): K transforms are CHAINED INSIDE ONE JITTED PROGRAM with a single
-readback, and the reported value is the MIN over REPEATS timed runs.
+Line 1 — kernel metric: 2^22-point Goldilocks coset NTT throughput on one
+chip (BASELINE.md kernel metric).  Variance control (the axon relay adds
+per-dispatch noise that swamped earlier rounds' numbers — 273 vs 616
+Melem/s for the same code): K transforms are CHAINED INSIDE ONE JITTED
+PROGRAM with a single readback, and the reported value is the MIN over
+REPEATS timed runs.  `vs_baseline` is against round 1's first recorded
+value (299.5 Melem/s, BENCH_r01.json) — the reference itself publishes no
+absolute numbers (BASELINE.md).
 
-`vs_baseline` is measured against round 1's first recorded value for this
-metric (299.5 Melem/s, BENCH_r01.json) — the reference itself publishes no
-absolute numbers (BASELINE.md), so progress is tracked against our own
-first measurement.
+Line 2 — flagship metric: warm end-to-end fib prove at the reference's
+headline workload (2^24 values = 2^21 rows x 8 Goldilocks cols, blowup 4,
+32 queries, grind 8, FRI fold 8, remainder 64 —
+/root/reference/examples/fib/main.rs:224-229), seconds, min over repeats
+after one cold prove.  `vs_baseline` = round-3's 3.3 s warm record
+(docs/RESULTS.md) divided by the measured time, so >1 means faster than
+the previous round.
 
-The measurement runs in a child process with a watchdog: when the
+Each measurement runs in a child process with a watchdog: when the
 remote-TPU tunnel is unreachable, jax initialization blocks forever inside
-the axon plugin — the parent kills the child and exits nonzero instead of
-hanging the driver.  On watchdog timeout it falls back to a CPU measurement
-(clearly labelled) so the round still records *a* number.
+the axon plugin — the parent kills the child and moves on instead of
+hanging the driver.  On NTT watchdog timeout it falls back to a CPU
+measurement (clearly labelled) so the round still records *a* number; the
+fib line is TPU-only (a CPU prove at 2^24 values is not meaningful).
 """
 
 from __future__ import annotations
@@ -26,13 +33,15 @@ import subprocess
 import sys
 import time
 
-_TPU_TIMEOUT_S = 1800  # first chained-2^22 compile on the relay takes minutes
-_BASELINE_MELEM_S = 299.5  # BENCH_r01.json
+_NTT_TIMEOUT_S = 1800   # first chained-2^22 compile on the relay takes minutes
+_FIB_TIMEOUT_S = 3600   # cold 2^24-value prove incl. jit compiles
+_BASELINE_MELEM_S = 299.5   # BENCH_r01.json
+_BASELINE_FIB_WARM_S = 3.3  # round-3 docs/RESULTS.md warm record
 _CHAIN = 8      # transforms fused into one program
 _REPEATS = 5    # timed runs; min is reported
 
 
-def _measure():
+def _measure_ntt():
     import functools
 
     import jax
@@ -79,35 +88,80 @@ def _measure():
         "value": round(melem_s, 2),
         "unit": "Melem/s/chip",
         "vs_baseline": round(melem_s / _BASELINE_MELEM_S, 3),
-    }))
+    }), flush=True)
+
+
+def _measure_fib():
+    from ministark_tpu.air import ProofOptions
+    from ministark_tpu.models.fib import FibClaim, gen_trace
+
+    trace = gen_trace(1 << 24)
+    opts = ProofOptions(num_queries=32, lde_blowup_factor=4,
+                        grinding_factor=8, fri_folding_factor=8,
+                        fri_max_remainder_coeffs=64)
+    claim = FibClaim(trace.last_value())
+
+    proof = claim.prove(opts, trace)  # cold (compiles; persistent cache)
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        proof = claim.prove(opts, trace)
+        times.append(time.perf_counter() - t0)
+    claim.verify(proof, 30)  # the measured proves must actually verify
+
+    warm_s = min(times)
+    print(json.dumps({
+        "metric": "fib e2e prove, 2^24 values (warm)",
+        "value": round(warm_s, 3),
+        "unit": "s",
+        "vs_baseline": round(_BASELINE_FIB_WARM_S / warm_s, 3),
+    }), flush=True)
+
+
+def _child_env(cpu: bool):
+    env = dict(os.environ, MINISTARK_BENCH_CHILD="1")
+    if cpu:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        env.update(PYTHONPATH=repo, JAX_PLATFORMS="cpu",
+                   TF_CPP_MIN_LOG_LEVEL="3",
+                   XLA_FLAGS="--xla_disable_hlo_passes=fusion,cpu-fusion")
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+    return env
+
+
+def _run_child(mode: str, timeout: int, cpu: bool = False) -> bool:
+    env = _child_env(cpu)
+    env["MINISTARK_BENCH_CHILD"] = mode
+    try:
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              timeout=timeout, env=env)
+        if proc.returncode == 0:
+            return True
+        print(f"bench child ({mode}) failed (exit {proc.returncode})",
+              file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print(f"bench child ({mode}) exceeded {timeout}s "
+              "(remote-TPU tunnel unreachable?)", file=sys.stderr)
+    return False
 
 
 def main():
-    if os.environ.get("MINISTARK_BENCH_CHILD") == "1":
-        _measure()
+    mode = os.environ.get("MINISTARK_BENCH_CHILD")
+    if mode == "ntt":
+        _measure_ntt()
+        return
+    if mode == "fib":
+        _measure_fib()
         return
 
-    env = dict(os.environ, MINISTARK_BENCH_CHILD="1")
-    try:
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                              timeout=_TPU_TIMEOUT_S, env=env)
-        if proc.returncode == 0:
-            return
-        print(f"bench child failed (exit {proc.returncode})", file=sys.stderr)
-    except subprocess.TimeoutExpired:
-        print(f"bench child exceeded {_TPU_TIMEOUT_S}s "
-              "(remote-TPU tunnel unreachable?)", file=sys.stderr)
+    ntt_ok = _run_child("ntt", _NTT_TIMEOUT_S)
+    if not ntt_ok:
+        # CPU fallback: scrubbed env so the axon plugin can't block jax init.
+        ntt_ok = _run_child("ntt", 3 * _NTT_TIMEOUT_S, cpu=True)
 
-    # CPU fallback: scrubbed env so the axon plugin can't block jax init.
-    repo = os.path.dirname(os.path.abspath(__file__))
-    env = dict(os.environ, MINISTARK_BENCH_CHILD="1",
-               PYTHONPATH=repo, JAX_PLATFORMS="cpu",
-               TF_CPP_MIN_LOG_LEVEL="3",
-               XLA_FLAGS="--xla_disable_hlo_passes=fusion,cpu-fusion")
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                          timeout=3 * _TPU_TIMEOUT_S, env=env)
-    sys.exit(proc.returncode)
+    fib_ok = _run_child("fib", _FIB_TIMEOUT_S)
+
+    sys.exit(0 if (ntt_ok or fib_ok) else 1)
 
 
 if __name__ == "__main__":

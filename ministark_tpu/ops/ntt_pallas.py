@@ -50,22 +50,31 @@ from ..fields.scalar import P
 
 TILE = 128
 
-# Largest n1 the unrolled kernel has been compiled+verified at on the chip
-# (benches/ntt_variants.py).  Above this, col_ntt auto-falls back to the
-# per-stage fori_loop kernel instead of risking a Mosaic VMEM-stack OOM.
+# Largest n1 the unrolled kernel fits at on the chip: n1=8192 is a measured
+# VMEM OOM (208M > 128M) — the (log_n, n1, 1) twiddle operand lane-pads its
+# trailing dim to 128, costing 52 MB per limb plane at 8192.  Above this,
+# col_ntt falls back to the per-stage fori_loop kernel (canonicalizing and
+# applying `pre` outside), verified on chip by benches/ntt_unroll_range.py
+# up to the 2^26-point coset LDE (n1 = 8192).
 UNROLL_MAX_N1 = 4096
 
 
 @functools.lru_cache(maxsize=64)
 def stage_twiddles(root: int, n1: int):
-    """Per-stage full twiddle vectors, shape (log2(n1), n1):
-    T[s-1, r] = w^((n1/2^s) * (r mod 2^(s-1))) — the multiplier applied at
-    row r in stage s (same value for a butterfly's lo and hi rows)."""
+    """Per-stage full twiddle vectors, packed LANE-MAJOR as (n1, 128):
+    column s-1 holds T_s[r] = w^((n1/2^s) * (r mod 2^(s-1))) — the
+    multiplier applied at row r in stage s (same value for a butterfly's lo
+    and hi rows); columns >= log2(n1) are zero padding.
+
+    Layout rationale (measured on chip): the previous (log_n, n1, 1) layout
+    lane-padded every stage plane to 128 lanes — 52 MB of VMEM per limb at
+    n1 = 8192, the dominant kernel allocation and an OOM beyond 4096.  One
+    (n1, 128) block holds ALL stages in exactly one operand tile (4 MB at
+    8192); the kernel slices column s statically and lane-broadcasts."""
     log_n = n1.bit_length() - 1
-    # layout (log_n, n1, 1): stage s is plane s-1; the (1, n1, 1) block
-    # satisfies Mosaic's trailing-dim divisibility rules
-    out_lo = np.zeros((log_n, n1, 1), np.uint32)
-    out_hi = np.zeros((log_n, n1, 1), np.uint32)
+    assert log_n <= 128
+    out_lo = np.zeros((n1, 128), np.uint32)
+    out_hi = np.zeros((n1, 128), np.uint32)
     r_idx = np.arange(n1, dtype=np.int64)
     for s in range(1, log_n + 1):
         m = 1 << s
@@ -75,8 +84,8 @@ def stage_twiddles(root: int, n1: int):
         for j in range(1, half):
             pw[j] = pw[j - 1] * wm % P
         vals = np.array([int(pw[r % half]) for r in r_idx], dtype=np.uint64)
-        out_lo[s - 1, :, 0] = (vals & 0xFFFFFFFF).astype(np.uint32)
-        out_hi[s - 1, :, 0] = (vals >> 32).astype(np.uint32)
+        out_lo[:, s - 1] = (vals & 0xFFFFFFFF).astype(np.uint32)
+        out_hi[:, s - 1] = (vals >> 32).astype(np.uint32)
     # numpy (not jnp): this function is reached inside jit traces, and
     # caching trace-created jnp arrays leaks tracers
     return (out_lo, out_hi)
@@ -95,7 +104,7 @@ def _col_ntt_kernel(x_lo_ref, x_hi_ref, tw_lo_ref, tw_hi_ref,
 
     half = jnp.uint32(1) << s.astype(jnp.uint32)  # 2^s = m/2 for stage s+1
     is_lo = (rows & half) == 0
-    T = (tw_lo_ref[:].reshape(n1, 1), tw_hi_ref[:].reshape(n1, 1))
+    T = (tw_lo_ref[:].reshape(n1, 1), tw_hi_ref[:].reshape(n1, 1))  # (1,n1,1) stage block
 
     def load(ref_pair):
         return (ref_pair[0][:], ref_pair[1][:])
@@ -150,7 +159,7 @@ def _col_ntt_kernel_unrolled(x_lo_ref, x_hi_ref, tw_lo_ref, tw_hi_ref,
     for s in range(log_n):
         half = 1 << s
         is_lo = (rows & jnp.uint32(half)) == 0
-        T = (tw_lo_ref[s].reshape(n1, 1), tw_hi_ref[s].reshape(n1, 1))
+        T = (tw_lo_ref[:, s:s + 1], tw_hi_ref[:, s:s + 1])
         z = fd.mul_lazy(T, x)
         zp = (pltpu.roll(z[0], n1 - half, axis=0),
               pltpu.roll(z[1], n1 - half, axis=0))
@@ -163,6 +172,41 @@ def _col_ntt_kernel_unrolled(x_lo_ref, x_hi_ref, tw_lo_ref, tw_hi_ref,
         x = fd.canonicalize(x)
     o_lo_ref[:] = x[0]
     o_hi_ref[:] = x[1]
+
+
+def _col_ntt_xla(x, tw_stages, tmat, pre, n1: int, period: int):
+    """Plain-XLA column NTT with col_ntt's exact call contract (bit-reversed
+    input rows, per-stage twiddle vectors, optional cycling pre/tmat folds).
+    Fallback for n1 beyond the Pallas kernels' VMEM range."""
+    L = x[0].shape[1]
+    k = L // period
+    log_n = n1.bit_length() - 1
+    x = fd.canonicalize(x)
+
+    def bcast_mul(arr, mat):
+        xs = (arr[0].reshape(n1, k, period), arr[1].reshape(n1, k, period))
+        mb = (mat[0][:, None, :], mat[1][:, None, :])
+        out = fd.mul(xs, mb)
+        return (out[0].reshape(n1, L), out[1].reshape(n1, L))
+
+    if pre is not None:
+        x = bcast_mul(x, pre)
+    for s in range(log_n):
+        m = 2 << s
+        half = 1 << s
+        tws = (tw_stages[0][:half, s].reshape(1, half, 1),
+               tw_stages[1][:half, s].reshape(1, half, 1))
+        xs = (x[0].reshape(n1 // m, 2, half, L),
+              x[1].reshape(n1 // m, 2, half, L))
+        u = (xs[0][:, 0], xs[1][:, 0])
+        v = fd.mul((xs[0][:, 1], xs[1][:, 1]), tws)
+        lo_half = fd.add(u, v)
+        hi_half = fd.sub(u, v)
+        x = (jnp.stack([lo_half[0], hi_half[0]], axis=1).reshape(n1, L),
+             jnp.stack([lo_half[1], hi_half[1]], axis=1).reshape(n1, L))
+    if tmat is not None:
+        x = bcast_mul(x, tmat)
+    return x
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "unrolled", "canon",
@@ -196,8 +240,15 @@ def col_ntt(x, tw_stages, tmat=None, pre=None, interpret=False, unrolled=True,
         assert tmat[0].shape == (n1, period), (tmat[0].shape, n1, period)
     if with_pre:
         assert pre[0].shape == (n1, period), (pre[0].shape, n1, period)
-    if unrolled and n1 > UNROLL_MAX_N1 and pre is None and canon:
-        unrolled = False  # beyond the unrolled kernel's proven VMEM range
+    if n1 > UNROLL_MAX_N1:
+        # Beyond the Pallas kernels' VMEM range (measured on chip at
+        # n1 = 8192: the unrolled kernel OOMs on the lane-padded
+        # (log_n, n1, 1) twiddle windows, and the fori_loop kernel OOMs on
+        # 121 MB of register spill slots from its dynamic rolls).  Fall
+        # back to plain XLA butterfly stages — one HBM pass per op, but
+        # correct at any size; this path only runs for transforms over
+        # 2^24 points (n1 > 4096 after the balanced six-step split).
+        return _col_ntt_xla(x, tw_stages, tmat, pre, n1, period)
     assert canon or unrolled
     assert pre is None or unrolled
     dummy = (jnp.zeros((8, 128), fd.U32), jnp.zeros((8, 128), fd.U32))
@@ -207,6 +258,7 @@ def col_ntt(x, tw_stages, tmat=None, pre=None, interpret=False, unrolled=True,
         pre = dummy
 
     log_n = n1.bit_length() - 1
+    tw_in = tw_stages
     if unrolled:
         grid = (L // tile,)
         xspec = pl.BlockSpec((n1, tile), lambda j: (0, j), memory_space=pltpu.VMEM)
@@ -214,7 +266,7 @@ def col_ntt(x, tw_stages, tmat=None, pre=None, interpret=False, unrolled=True,
                                memory_space=pltpu.VMEM)
                   if with_tmat else
                   pl.BlockSpec((8, 128), lambda j: (0, 0), memory_space=pltpu.VMEM))
-        twspec = pl.BlockSpec((log_n, n1, 1), lambda j: (0, 0, 0),
+        twspec = pl.BlockSpec((n1, 128), lambda j: (0, 0),
                               memory_space=pltpu.VMEM)
         pmspec = (pl.BlockSpec((n1, tile), lambda j: (0, j % pp),
                                memory_space=pltpu.VMEM)
@@ -224,6 +276,10 @@ def col_ntt(x, tw_stages, tmat=None, pre=None, interpret=False, unrolled=True,
                                    with_tmat=with_tmat, with_pre=with_pre,
                                    canon=canon)
     else:
+        # the per-stage-block kernel wants stage planes (log_n, n1, 1):
+        # unpack the packed (n1, 128) table outside the kernel (tiny)
+        tw_in = tuple(jnp.transpose(t[:, :log_n])[:, :, None]
+                      for t in tw_stages)
         grid = (L // tile, log_n)
         xspec = pl.BlockSpec((n1, tile), lambda j, s: (0, j), memory_space=pltpu.VMEM)
         tmspec = (pl.BlockSpec((n1, tile), lambda j, s: (0, j % pp),
@@ -246,6 +302,6 @@ def col_ntt(x, tw_stages, tmat=None, pre=None, interpret=False, unrolled=True,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x[0], x[1], tw_stages[0], tw_stages[1], tmat[0], tmat[1],
+    )(x[0], x[1], tw_in[0], tw_in[1], tmat[0], tmat[1],
       pre[0], pre[1])
     return out
