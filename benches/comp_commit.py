@@ -56,22 +56,23 @@ def main():
     lo, hi = fd.pack_np(rng.integers(0, P, ce_dom.size, dtype=np.uint64))
     evals = (jnp.asarray(lo), jnp.asarray(hi))
 
+    # tables OUTSIDE any trace (powers()/lru caches must never see tracers)
+    itabs = (ce_dom._inv_tbl(), ce_dom._unscale_tbl(), ce_dom._inv_tmat(),
+             ce_dom._ipost_tbl())
+    ftabs = (lde_dom._fwd_tbl(), lde_dom._scale_tbl(), lde_dom._fwd_tmat(),
+             lde_dom._scale_brv_tbl())
+
     # step 1: CE iNTT
-    dt, coeffs = _timeit(
-        jax.jit(lambda e: ce_dom._ifft_fp_impl(
-            e, ce_dom._inv_tbl(), ce_dom._unscale_tbl(), ce_dom._inv_tmat(),
-            ce_dom._ipost_tbl())), evals)
+    dt, coeffs = _timeit(jax.jit(ce_dom._ifft_fp_impl), evals, *itabs)
     print(f"CE iNTT ({ce_dom.size >> 20}Mi):            {dt*1e3:8.2f} ms",
           flush=True)
 
     # step 2: split + batched coset NTT (cb cols x lde_n)
-    def split_ntt(c):
+    def split_ntt(c, ftbl, fscale, ftmat, fbrv):
         polys = (c[0].reshape(trace_len, cb).T, c[1].reshape(trace_len, cb).T)
-        return lde_dom._fft_fp_impl(
-            polys, lde_dom._fwd_tbl(), lde_dom._scale_tbl(),
-            lde_dom._fwd_tmat(), lde_dom._scale_brv_tbl())
+        return lde_dom._fft_fp_impl(polys, ftbl, fscale, ftmat, fbrv)
 
-    dt, lde = _timeit(jax.jit(split_ntt), coeffs)
+    dt, lde = _timeit(jax.jit(split_ntt), coeffs, *ftabs)
     print(f"split + coset NTT ({cb}x{lde_dom.size >> 20}Mi):     "
           f"{dt*1e3:8.2f} ms", flush=True)
 
@@ -81,22 +82,25 @@ def main():
     print(f"row hash ({lde_dom.size >> 20}Mi rows):          "
           f"{dt*1e3:8.2f} ms", flush=True)
 
-    # step 4: digest bitrev permute (8, n) lane gather
+    # step 4 (historical): digest bitrev permute (8, n) lane gather — no
+    # longer in the commit path (the bitrev-storage tree cancels it)
     dt, lanes_br = _timeit(
         jax.jit(lambda l: permute_bitrev(l, axis=1)), lanes)
-    print(f"digest bitrev:                 {dt*1e3:8.2f} ms", flush=True)
+    print(f"digest bitrev (removed):       {dt*1e3:8.2f} ms", flush=True)
 
-    # step 5: tree levels
+    # step 5a: tree levels, NATURAL storage (strided even/odd lane slices)
     dt, _ = _timeit(
         jax.jit(lambda l: merkle.tree_levels_lanes(l, False)), lanes_br)
-    print(f"tree levels:                   {dt*1e3:8.2f} ms", flush=True)
+    print(f"tree levels (natural order):   {dt*1e3:8.2f} ms", flush=True)
+
+    # step 5b: tree levels, TREE-BITREV storage (contiguous-half merges)
+    dt, _ = _timeit(
+        jax.jit(lambda l: merkle.tree_levels_lanes_br(l, False)), lanes)
+    print(f"tree levels (bitrev storage):  {dt*1e3:8.2f} ms", flush=True)
 
     # whole fused phase program (what the prover dispatches)
     prog = _comp_commit_program(trace_len, cb, ce_dom, lde_dom, False, False)
-    dt, _ = _timeit(
-        prog, evals, ce_dom._inv_tbl(), ce_dom._unscale_tbl(),
-        ce_dom._inv_tmat(), ce_dom._ipost_tbl(), lde_dom._fwd_tbl(),
-        lde_dom._scale_tbl(), lde_dom._fwd_tmat(), lde_dom._scale_brv_tbl())
+    dt, _ = _timeit(prog, evals, *itabs, *ftabs)
     print(f"FUSED comp-commit program:     {dt*1e3:8.2f} ms", flush=True)
 
 

@@ -207,7 +207,8 @@ class FriProver:
 
     def _append_layer(self, rows, levels):
         tree = merkle.CommittedMerkleTree(levels, hashfn=self.hashfn,
-                                          device_lanes=True)
+                                          device_lanes=True,
+                                          bitrev_storage=True)
         if self.fq_is_ext:
             c0, c1, c2 = rows
         else:
@@ -360,20 +361,24 @@ def _commit_rows_traced(evals, n: int, N: int, fq_is_ext: bool,
             for c in evals)
         cols = [(jnp.transpose(c[0]), jnp.transpose(c[1])) for c in rows]
         if rpo:
-            return rows, merkle._rpo_tree_levels_traced(
-                merkle.hash_rows_ext3_rpo(*cols))
+            return rows, merkle._rpo_tree_levels_traced_br(
+                permute_bitrev(merkle.hash_rows_ext3_rpo(*cols), axis=0))
         lanes = spl.hash_rows_ext3_lanes(*cols, interpret=interpret)
     else:
         rows = (permute_bitrev(evals[0]).reshape(n // N, N),
                 permute_bitrev(evals[1]).reshape(n // N, N))
         if rpo:
-            return rows, merkle._rpo_tree_levels_traced(
-                merkle.hash_rows_fp_rpo(jnp.transpose(rows[0]),
-                                        jnp.transpose(rows[1])))
+            return rows, merkle._rpo_tree_levels_traced_br(
+                permute_bitrev(merkle.hash_rows_fp_rpo(
+                    jnp.transpose(rows[0]), jnp.transpose(rows[1])), axis=0))
         lanes = spl.hash_rows_fp_lanes(
             jnp.transpose(rows[0]), jnp.transpose(rows[1]),
             interpret=interpret)
-    return rows, merkle.tree_levels_lanes(lanes, interpret)
+    # FRI leaf digests are produced in leaf order (no rev∘rev cancellation:
+    # the evals were already bit-reversed for the row chunks), so the
+    # tree-bitrev storage needs one small digest permute
+    return rows, merkle.tree_levels_lanes_br(
+        permute_bitrev(lanes, axis=1), interpret)
 
 
 def _fri_pipeline_tables(n: int, N: int, L: int):

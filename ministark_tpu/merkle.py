@@ -168,7 +168,8 @@ def _rpo_tree_levels_traced(words) -> list:
     in lane-major (8, m) form (the same layout the SHA lanes path uses, so
     CommittedMerkleTree's bulk-fetch decommit machinery applies unchanged).
     Jit-traceable; levels never round-trip to the host — a 2^23-leaf tree is
-    ~0.5 GB of digests, which would drown the TPU tunnel."""
+    ~0.5 GB of digests, which would drown the TPU tunnel.  NATURAL storage
+    order (strided row slices per level); prefer the _br variant."""
     from .ops import rpo256
 
     levels = [jnp.transpose(words)]
@@ -181,21 +182,45 @@ def _rpo_tree_levels_traced(words) -> list:
     return levels
 
 
+def _rpo_tree_levels_traced_br(words) -> list:
+    """RPO tree levels in TREE-BITREV storage order (see
+    tree_levels_lanes_br): siblings are contiguous halves, no strided
+    slicing.  Input (n, 8) words in STORAGE order (node bitrev(p) at row
+    p); wrap with bitrev_storage=True."""
+    from .ops import rpo256
+
+    levels = [jnp.transpose(words)]
+    cur = words
+    while cur.shape[0] > 1:
+        half = cur.shape[0] // 2
+        left = _rpo_pairs(cur[:half])
+        right = _rpo_pairs(cur[half:])
+        cur = _rpo_words(rpo256.merge_digests(left, right))
+        levels.append(jnp.transpose(cur))
+    return levels
+
+
 def build_tree_levels_rpo(leaf_words) -> list:
-    """All tree levels from (n, 8) RPO leaf words — ONE jitted program,
-    levels staying on device (lane-major)."""
+    """All tree levels from (n, 8) RPO leaf words in LEAF order — ONE
+    jitted program, levels staying on device (lane-major, TREE-BITREV
+    storage: wrap with bitrev_storage=True)."""
     n = int(leaf_words.shape[0])
     if n not in _RPO_TREE_PROGRAMS:
-        _RPO_TREE_PROGRAMS[n] = jax.jit(_rpo_tree_levels_traced)
+        def prog(words):
+            return _rpo_tree_levels_traced_br(permute_bitrev(words, axis=0))
+
+        _RPO_TREE_PROGRAMS[n] = jax.jit(prog)
     return _RPO_TREE_PROGRAMS[n](leaf_words)
 
 
 def build_tree_levels_device(leaf_digest_words, interpret: bool = False) -> list:
     """Device-resident tree build via the lane-major Pallas kernel: the
-    levels STAY on device ((8, m) lane-major); only root + queried paths
-    ever cross to the host (a 2^23-leaf tree is ~0.5 GB of digests — pulling
-    it through the TPU tunnel would dwarf the hash work)."""
-    return tree_levels_lanes(jnp.transpose(leaf_digest_words), interpret)
+    levels STAY on device ((8, m) lane-major, TREE-BITREV storage — wrap
+    with bitrev_storage=True); only root + queried paths ever cross to the
+    host (a 2^23-leaf tree is ~0.5 GB of digests — pulling it through the
+    TPU tunnel would dwarf the hash work)."""
+    lanes = permute_bitrev(jnp.transpose(leaf_digest_words), axis=1)
+    return tree_levels_lanes_br(lanes, interpret)
 
 
 _GATHER_PROGRAMS: dict = {}
@@ -247,10 +272,14 @@ class CommittedMerkleTree:
     hash_rpo = RPO-256) — the analogue of the reference's MerkleTreeConfig
     parametrization (src/merkle.rs:57-66)."""
 
-    def __init__(self, levels: list, hashfn=H, device_lanes: bool = False):
+    def __init__(self, levels: list, hashfn=H, device_lanes: bool = False,
+                 bitrev_storage: bool = False):
         self.levels = levels
         self.hashfn = hashfn
         self.device_lanes = device_lanes
+        # tree-bitrev storage (tree_levels_lanes_br): level arrays hold node
+        # bitrev(p) at column p; fetches translate indices host-side
+        self.bitrev_storage = bitrev_storage
         self.n = int(levels[0].shape[1] if device_lanes else levels[0].shape[0])
         assert self.n & (self.n - 1) == 0 and self.n >= 2
         self._root = None
@@ -258,18 +287,27 @@ class CommittedMerkleTree:
         # digests are 4 canonical-LE u64s stored as (lo, hi) u32 word pairs
         self._be = getattr(hashfn, "DIGEST_WORDS_BE", True)
 
+    def _storage_ix(self, level: int, indices):
+        """Logical node indices -> storage columns at `level`."""
+        if not self.bitrev_storage:
+            return list(indices)
+        from .ntt import bit_reverse_index
+
+        m = self.n >> level
+        return [bit_reverse_index(m, i) for i in indices]
+
     @staticmethod
     def from_leaf_words(leaf_digest_words, hashfn=H) -> "CommittedMerkleTree":
         if hashfn is not H:
             return CommittedMerkleTree(
                 build_tree_levels_rpo(leaf_digest_words), hashfn=hashfn,
-                device_lanes=True)
+                device_lanes=True, bitrev_storage=True)
         mode = _lanes_mode()
         if mode is not None:
             return CommittedMerkleTree(
                 build_tree_levels_device(leaf_digest_words,
                                          interpret=mode == "interpret"),
-                device_lanes=True)
+                device_lanes=True, bitrev_storage=True)
         return CommittedMerkleTree(build_tree_levels(leaf_digest_words))
 
     @property
@@ -303,7 +341,8 @@ class CommittedMerkleTree:
             _GATHER_PROGRAMS[key] = jax.jit(prog)
         packed = _GATHER_PROGRAMS[key](
             [self.levels[lvl] for lvl in order],
-            [jnp.asarray(np.asarray(wants[lvl], np.int32)) for lvl in order])
+            [jnp.asarray(np.asarray(self._storage_ix(lvl, wants[lvl]),
+                                    np.int32)) for lvl in order])
         block = np.asarray(packed, dtype=np.uint32)  # (8, K)
         bo = "big" if self._be else "little"
         out = {}
@@ -392,7 +431,8 @@ class CommittedMerkleTree:
         meta = (initial, siblings, flat_nodes, order, wants_sorted)
         if not self.device_lanes:
             return meta, None
-        specs = [([self.levels[lvl]], wants_sorted[lvl], 1) for lvl in order]
+        specs = [([self.levels[lvl]], self._storage_ix(lvl, wants_sorted[lvl]),
+                  1) for lvl in order]
         return meta, specs
 
     def view_from(self, meta, blocks) -> MerkleView:
@@ -533,7 +573,10 @@ _COMMIT_PROGRAMS: dict = {}
 
 
 def tree_levels_lanes(lanes, interpret: bool = False) -> list:
-    """All tree levels from (8, n) lane-major digest words; jit-traceable."""
+    """All tree levels from (8, n) lane-major digest words; jit-traceable.
+    NATURAL storage order: each level pairs (2i, 2i+1) — the even/odd lane
+    slices force a full relayout pass per level (measured 296 ms of a
+    394 ms comp-commit at 2^23 leaves).  Prefer tree_levels_lanes_br."""
     from .ops import sha256_pallas as spl
 
     levels = [lanes]
@@ -544,15 +587,38 @@ def tree_levels_lanes(lanes, interpret: bool = False) -> list:
     return levels
 
 
+def tree_levels_lanes_br(lanes, interpret: bool = False) -> list:
+    """All tree levels in TREE-BITREV storage order: storage column p of a
+    level holds node bitrev(p).  Siblings (2j, 2j+1) then live at storage
+    q and q + half (LSB becomes MSB), so every level is one merge of two
+    CONTIGUOUS halves — no strided lane slicing anywhere.  Bonus
+    cancellation: for the protocol's bit-reversed leaf order, the bitrev
+    storage of the leaf level IS the natural row-digest array (rev∘rev),
+    so the commit-time digest permute disappears too."""
+    from .ops import sha256_pallas as spl
+
+    levels = [lanes]
+    cur = lanes
+    while cur.shape[1] > 1:
+        half = cur.shape[1] // 2
+        cur = spl.merge_lanes(cur[:, :half], cur[:, half:],
+                              interpret=interpret)
+        levels.append(cur)
+    return levels
+
+
 def commit_matrix_fp_traced(lo, hi, bitrev: bool, interpret: bool) -> list:
-    """Traced commit body (lanes path): row hash, bit-reverse leaf
-    permutation, all tree levels. Usable inside larger jitted programs."""
+    """Traced commit body (lanes path): row hash + all tree levels, in
+    TREE-BITREV storage order (wrap with bitrev_storage=True).  `bitrev`
+    (leaves = bit-reversed rows, the protocol order) needs NO permute at
+    all — natural row digests ARE that tree's bitrev storage; rows already
+    given in leaf order need one digest permute."""
     from .ops import sha256_pallas as spl
 
     lanes = spl.hash_rows_fp_lanes(lo, hi, interpret=interpret)
-    if bitrev:
+    if not bitrev:
         lanes = permute_bitrev(lanes, axis=1)
-    return tree_levels_lanes(lanes, interpret)
+    return tree_levels_lanes_br(lanes, interpret)
 
 
 def commit_matrix_ext3_traced(c0, c1, c2, bitrev: bool,
@@ -560,9 +626,9 @@ def commit_matrix_ext3_traced(c0, c1, c2, bitrev: bool,
     from .ops import sha256_pallas as spl
 
     lanes = spl.hash_rows_ext3_lanes(c0, c1, c2, interpret=interpret)
-    if bitrev:
+    if not bitrev:
         lanes = permute_bitrev(lanes, axis=1)
-    return tree_levels_lanes(lanes, interpret)
+    return tree_levels_lanes_br(lanes, interpret)
 
 
 def _commit_program(kind: str, shape, bit_reversed_input: bool,
@@ -598,18 +664,22 @@ def commit_matrix_fp(cols_lo, cols_hi, bit_reversed_input: bool = False,
         if key not in _COMMIT_PROGRAMS:
             def prog(lo, hi):
                 digests = hash_rows_fp_rpo(lo, hi)
-                if not bit_reversed_input:
+                # tree-bitrev storage: natural rows = storage directly
+                # (rev∘rev); already-bit-reversed input needs one permute
+                if bit_reversed_input:
                     digests = permute_bitrev(digests, axis=0)
-                return _rpo_tree_levels_traced(digests)
+                return _rpo_tree_levels_traced_br(digests)
 
             _COMMIT_PROGRAMS[key] = jax.jit(prog)
         return CommittedMerkleTree(_COMMIT_PROGRAMS[key](cols_lo, cols_hi),
-                                   hashfn=hashfn, device_lanes=True)
+                                   hashfn=hashfn, device_lanes=True,
+                                   bitrev_storage=True)
     mode = _lanes_mode()
     if mode is not None:
         prog = _commit_program("fp", cols_lo.shape, bit_reversed_input,
                                mode == "interpret")
-        return CommittedMerkleTree(prog(cols_lo, cols_hi), device_lanes=True)
+        return CommittedMerkleTree(prog(cols_lo, cols_hi), device_lanes=True,
+                                   bitrev_storage=True)
     digests = hash_rows_fp(cols_lo, cols_hi)
     if not bit_reversed_input:
         digests = permute_bitrev(digests, axis=0)
@@ -623,18 +693,20 @@ def commit_matrix_ext3(c0, c1, c2, bit_reversed_input: bool = False,
         if key not in _COMMIT_PROGRAMS:
             def prog(a0, a1, a2):
                 digests = hash_rows_ext3_rpo(a0, a1, a2)
-                if not bit_reversed_input:
+                if bit_reversed_input:
                     digests = permute_bitrev(digests, axis=0)
-                return _rpo_tree_levels_traced(digests)
+                return _rpo_tree_levels_traced_br(digests)
 
             _COMMIT_PROGRAMS[key] = jax.jit(prog)
         return CommittedMerkleTree(_COMMIT_PROGRAMS[key](c0, c1, c2),
-                                   hashfn=hashfn, device_lanes=True)
+                                   hashfn=hashfn, device_lanes=True,
+                                   bitrev_storage=True)
     mode = _lanes_mode()
     if mode is not None:
         prog = _commit_program("ext3", c0[0].shape, bit_reversed_input,
                                mode == "interpret")
-        return CommittedMerkleTree(prog(c0, c1, c2), device_lanes=True)
+        return CommittedMerkleTree(prog(c0, c1, c2), device_lanes=True,
+                                   bitrev_storage=True)
     digests = hash_rows_ext3(c0, c1, c2)
     if not bit_reversed_input:
         digests = permute_bitrev(digests, axis=0)

@@ -292,10 +292,13 @@ def _ntt_sixstep_pallas_fp_batch(xb: fd.Fp2, n: int, root: int, tmat,
     tmat2 = (tmat[0].reshape(n1, n2), tmat[1].reshape(n1, n2))
     x = ntt_pallas.col_ntt(x, tw1, tmat=tmat2, pre=pre, canon=False,
                            lane_period=n2)
-    # (n1, B, n2) -> (n2, B*n1): lanes carry (column, k1)
-    x = _tree_map(
-        lambda t: t.reshape(n1, B, n2).transpose(2, 1, 0).reshape(n2, B * n1),
-        x)
+    # (n1, B, n2) -> (n2, B*n1): lanes carry (column, k1).  This is the one
+    # TRUE transpose in the pipeline — XLA's u32 transpose runs ~30x off
+    # the HBM roofline (3.2 ms at 2^22, benches/ntt_ablate.py), so it goes
+    # through the tiled Pallas transpose kernel instead.
+    from .ops import transpose_pallas
+
+    x = transpose_pallas.transpose_mid(x[0], x[1], B=B)
     x = _bitrev_axis0(x, n2)
     tw2 = ntt_pallas.stage_twiddles(pow(root, n1, P), n2)
     emat = (None if post is None else

@@ -177,7 +177,8 @@ def _default_prove(stark, options: ProofOptions, witness, validate: bool) -> Pro
                 lde_dom._scale_brv_tbl())
             comp_lde = (MatrixExt3(*lde_arrays) if fq_is_ext
                         else Matrix(*lde_arrays))
-            comp_tree = merkle.CommittedMerkleTree(levels, device_lanes=True)
+            comp_tree = merkle.CommittedMerkleTree(levels, device_lanes=True,
+                                                   bitrev_storage=True)
         elif fq_is_ext:
             coeffs = ce_dom.ifft_ext3(comp_evals)
             # split into cb interleaved columns: col_i[j] = coeffs[j*cb + i]

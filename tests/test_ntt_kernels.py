@@ -323,3 +323,22 @@ def test_pallas_sixstep_batched_ext3_interpret(monkeypatch,
     for k in range(3):
         assert np.array_equal(np.asarray(evals[k][0]), np.asarray(want[k][0]))
         assert np.array_equal(np.asarray(evals[k][1]), np.asarray(want[k][1]))
+
+
+def test_transpose_mid_interpret(no_persistent_cache):
+    """Tiled Pallas transpose vs numpy, incl. the batched layout."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ministark_tpu.ops import transpose_pallas
+
+    rng = np.random.default_rng(0)
+    for (R, B, C) in [(128, 1, 256), (256, 3, 128), (512, 2, 384)]:
+        a = rng.integers(0, 2**32, (R, B * C), dtype=np.uint64).astype(np.uint32)
+        b = rng.integers(0, 2**32, (R, B * C), dtype=np.uint64).astype(np.uint32)
+        oa, ob = transpose_pallas.transpose_mid(
+            jnp.asarray(a), jnp.asarray(b), B=B, interpret=True)
+        want_a = a.reshape(R, B, C).transpose(2, 1, 0).reshape(C, B * R)
+        want_b = b.reshape(R, B, C).transpose(2, 1, 0).reshape(C, B * R)
+        assert np.array_equal(np.asarray(oa), want_a), (R, B, C)
+        assert np.array_equal(np.asarray(ob), want_b), (R, B, C)
