@@ -108,6 +108,7 @@ def _default_prove(stark, options: ProofOptions, witness, validate: bool) -> Pro
     # -- phase 1: base trace commit (src/prover.rs:45-55) --------------------
     with Timer("Base trace commitment"):
         assert air.config.NUM_BASE_COLUMNS == base_trace.num_cols
+        base_polys = None
         if use_ex_commit:
             base_lde, base_tree = executor.lde_commit_fp(
                 base_trace, trace_dom, lde_dom)
@@ -147,15 +148,33 @@ def _default_prove(stark, options: ProofOptions, witness, validate: bool) -> Pro
         ce_dom = air.ce_domain()
         r = lde_dom.size // ce_dom.size
         x_lde = ce_dom.elements_device()
-        base_ce_cols = [
-            (base_lde.lo[c, ::r], base_lde.hi[c, ::r])
-            for c in range(base_lde.num_cols)]
+        # CE-domain trace values: natural CE value j == lde[j*r], but a
+        # stride-r lane slice costs ~30x a dense pass on this chip (697 ms
+        # of the 822 ms phase at 2^24 values, docs/RESULTS.md).  When the
+        # coefficients are at hand, ONE batched CE-domain NTT (~50 ms)
+        # produces the identical field elements instead.
+        if r == 1:
+            base_ce = base_lde
+        elif base_polys is not None:
+            base_ce = base_polys.evaluate(ce_dom)
+        else:  # executor path: coefficients were never materialized
+            base_ce = Matrix(base_lde.lo[:, ::r], base_lde.hi[:, ::r])
+        base_ce_cols = [(base_ce.lo[c], base_ce.hi[c])
+                        for c in range(base_ce.num_cols)]
         ext_ce_cols = None
         if ext_lde is not None:
-            e = ext_lde.as_ext3()
+            if r == 1:
+                ext_ce = ext_lde
+            elif ext_polys is not None:
+                ext_ce = ext_polys.evaluate(ce_dom)
+            else:
+                e = ext_lde.as_ext3()
+                ext_ce = MatrixExt3(*[(c[0][:, ::r], c[1][:, ::r])
+                                      for c in e])
+            ec = ext_ce.as_ext3()
             ext_ce_cols = [
-                tuple((comp[0][c, ::r], comp[1][c, ::r]) for comp in e)
-                for c in range(ext_lde.num_cols)]
+                tuple((comp[0][c], comp[1][c]) for comp in ec)
+                for c in range(ext_ce.num_cols)]
         num_coeffs = air.num_composition_constraint_coeffs()
         composition_coeffs = channel.public_coin.draw_multiple(num_coeffs)
         comp_evals = eval_composition(
