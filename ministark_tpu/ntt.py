@@ -298,7 +298,8 @@ def _ntt_sixstep_pallas_fp_batch(xb: fd.Fp2, n: int, root: int, tmat,
     # through the tiled Pallas transpose kernel instead.
     from .ops import transpose_pallas
 
-    x = transpose_pallas.transpose_mid(x[0], x[1], B=B)
+    x = transpose_pallas.transpose_mid(
+        x[0], x[1], B=B, interpret=jax.default_backend() == "cpu")
     x = _bitrev_axis0(x, n2)
     tw2 = ntt_pallas.stage_twiddles(pow(root, n1, P), n2)
     emat = (None if post is None else

@@ -38,3 +38,24 @@ def test_inv_ext3_pallas_matches_scan(no_persistent_cache):
     ref = [fd.to_ints(c) for c in fd._ext3_batch_inv_scan(a)]
     got = [fd.to_ints(c) for c in inv_ext3_pallas(a, interpret=True)]
     assert got == ref
+
+
+@pytest.mark.slow
+def test_inv_fp_hybrid_matches_fermat(no_persistent_cache):
+    """Hybrid Montgomery-in-registers kernel (eligible sizes) vs host
+    Fermat, zeros included (0 -> 0)."""
+    import jax.numpy as jnp
+
+    from ministark_tpu.fields import npfield
+
+    rng = np.random.default_rng(9)
+    n = 1 << 16  # rows = 128 = BLOCK_R * HYBRID_K -> hybrid path
+    vals = rng.integers(0, P, n, dtype=np.uint64)
+    vals[::977] = 0  # sprinkle zeros
+    lo, hi = fd.pack_np(vals)
+    a = (jnp.asarray(lo), jnp.asarray(hi))
+    got = inv_fp_pallas(a, interpret=True)
+    want = npfield.inv(vals)
+    assert np.array_equal(
+        np.asarray(got[0], np.uint64)
+        | (np.asarray(got[1], np.uint64) << np.uint64(32)), want)
