@@ -30,7 +30,11 @@ def _grind_batch(seed_words, start_hi, start_lo, bits):
     return jnp.where(jnp.any(ok), first, -1)
 
 
-_BATCH = 1 << 16
+# Sized so a grind-20 search (~2^20 expected nonces) usually takes ONE
+# dispatch: each batch round-trip costs ~40 ms through the relay, which
+# dominated the PoW phase at 2^16 (16 batches = 670 ms measured on the
+# brainfuck hello_world config; the hash kernel itself is ~3 ms/2^20).
+_BATCH = 1 << 21
 
 
 def grind(seed: bytes, bits: int) -> int:
@@ -51,7 +55,7 @@ def grind(seed: bytes, bits: int) -> int:
 
 # -- RPO-coin grind (hash_rpo.merge_with_int semantics) ----------------------
 
-_RPO_BATCH = 1 << 13  # 12-wide state + 14 MDS einsums per permute: heavier
+_RPO_BATCH = 1 << 16  # 12-wide state + 14 MDS einsums per permute: heavier
 
 
 @jax.jit
