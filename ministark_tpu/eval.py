@@ -303,17 +303,21 @@ def eval_composition(
             base_cols, ext_cols)
 
     ev = VectorEvaluator(n, air.ce_blowup_factor, fq_is_ext)
-    scalars = {
-        "challenges": [_scalar_to_device(v) for v in challenges],
-        "hints": [_scalar_to_device(v) for v in hints],
-        "composition_coeffs": [_scalar_to_device(v) for v in composition_coeffs],
-    }
+    # ONE stacked host->device upload for every transcript scalar: the
+    # brainfuck transcript carries ~11 challenges + ~100 Fq3 composition
+    # coefficients, and per-scalar 0-d uploads cost a relay round-trip EACH
+    # (~300 tiny transfers dominated the warm prove, docs/RESULTS.md).  The
+    # traced programs slice individual limbs back out for free.
+    packed, layout = _pack_scalars({
+        "challenges": challenges,
+        "hints": hints,
+        "composition_coeffs": composition_coeffs,
+    })
     ctx = {
         "x_lde": x_lde,
         "base_cols": base_cols,
         "ext_cols": ext_cols or [],
         "trace_len": air.trace_len,
-        **scalars,
     }
 
     expr = air.composition_constraint.expr
@@ -338,14 +342,15 @@ def eval_composition(
                if not isinstance(air.config, type)
                else air.config.__qualname__,
                air.trace_len, air.ce_blowup_factor, n, fq_is_ext,
-               tuple(sorted(denom_by_key)), _rt2.spmd())
+               tuple(sorted(denom_by_key)), repr(layout), _rt2.spmd())
     if air_sig not in _DENOM_JIT_CACHE:
         denom_items = tuple(sorted(denom_by_key.items()))
         trace_len = air.trace_len
 
-        def run_denoms(x_lde_in, base_in, ext_in, scl):
+        def run_denoms(x_lde_in, base_in, ext_in, packed_in):
             c = {"x_lde": x_lde_in, "base_cols": base_in,
-                 "ext_cols": ext_in, "trace_len": trace_len, **scl}
+                 "ext_cols": ext_in, "trace_len": trace_len,
+                 **_unpack_scalars(packed_in, layout)}
             out = {}
             for k, dnode in denom_items:
                 val = ev._materialize(ev.evaluate_raw(dnode, c))
@@ -362,7 +367,7 @@ def eval_composition(
 
         _DENOM_JIT_CACHE[air_sig] = jax.jit(run_denoms)
     inv_by_key = _DENOM_JIT_CACHE[air_sig](
-        x_lde, base_cols, ext_cols or [], scalars)
+        x_lde, base_cols, ext_cols or [], packed)
 
     # -- phase 2: term evaluation --------------------------------------------
     # Off-CPU the fused Pallas kernels evaluate term groups entirely in VMEM
@@ -385,12 +390,12 @@ def eval_composition(
         return fd.add(acc, term)
 
     def make_run_term(term):
-        def run_term(x_lde_in, base_in, ext_in, invs, scl):
+        def run_term(x_lde_in, base_in, ext_in, invs, packed_in):
             c = dict(ctx)
             c["x_lde"] = x_lde_in
             c["base_cols"] = base_in
             c["ext_cols"] = ext_in
-            c.update(scl)
+            c.update(_unpack_scalars(packed_in, layout))
             c["_div_inverses"] = invs
             c["_key_memo"] = key_memo
             out = ev.evaluate_raw(term, c)
@@ -398,7 +403,7 @@ def eval_composition(
             return out.v
         return jax.jit(run_term)
 
-    args = (x_lde, base_cols, ext_cols or [], inv_by_key, scalars)
+    args = (x_lde, base_cols, ext_cols or [], inv_by_key, packed)
     fns = [make_run_term(t) for t in terms]
     # XLA compiles release the GIL: compile all terms concurrently (big win
     # on the CPU backend where each term costs tens of seconds to compile)
@@ -412,6 +417,49 @@ def eval_composition(
         tv = fn(*args)
         acc = tv if acc is None else add_fq(acc, tv)
     return acc
+
+
+def _pack_scalars(groups):
+    """Stack every transcript scalar into ONE (S,) u32 limb-pair upload.
+
+    Returns ((s_lo, s_hi), layout) where layout maps each group name to a
+    tuple of ('fp' | 'fq', flat_offset) entries.  The layout is static per
+    AIR config (scalar counts and kinds don't change between proofs), so
+    jitted consumers key their cache on ``repr(layout)`` and slice limbs
+    back out inside the trace for free."""
+    flat: list[int] = []
+    layout = {}
+    for name, vals in groups.items():
+        entry = []
+        for v in vals:
+            if isinstance(v, Fq3):
+                entry.append(("fq", len(flat)))
+                flat.extend([v.c0.v, v.c1.v, v.c2.v])
+            else:
+                entry.append(("fp", len(flat)))
+                flat.append(v.v if isinstance(v, Fp) else int(v))
+        layout[name] = tuple(entry)
+    arr = np.array(flat or [0], dtype=np.uint64)
+    packed = (jnp.asarray((arr & 0xFFFFFFFF).astype(np.uint32)),
+              jnp.asarray((arr >> 32).astype(np.uint32)))
+    return packed, layout
+
+
+def _unpack_scalars(packed, layout):
+    """Rebuild the per-group scalar lists (Ext3 = 3 limb pairs, Fp = one)
+    from the stacked upload.  Call INSIDE a traced program."""
+    s_lo, s_hi = packed
+    out = {}
+    for name, entry in layout.items():
+        lst = []
+        for kind, off in entry:
+            if kind == "fq":
+                lst.append(tuple((s_lo[off + k], s_hi[off + k])
+                                 for k in range(3)))
+            else:
+                lst.append((s_lo[off], s_hi[off]))
+        out[name] = lst
+    return out
 
 
 def _scalar_to_device(v):

@@ -31,12 +31,9 @@ from ...stark import Trace
 from . import tables as T
 from .vm import OP_READ, OP_WRITE
 
-def _perm_initials() -> tuple[Fq3, Fq3]:
-    """(instr_initial, mem_initial), matching the reference's two
-    ``Fq3::rand(ark_std::test_rng())`` draws (trace.rs:82-84)."""
-    import os
-
-    if os.environ.get("MINISTARK_TPU_BF_INITIALS") == "fixed":
+@functools.lru_cache(maxsize=4)
+def _perm_initials_for(mode: str | None) -> tuple[Fq3, Fq3]:
+    if mode == "fixed":
         return (
             Fq3(0x6D696E69737461726B % P, 0x747075_1,
                 0x696E7374725F696E6974 % P),
@@ -48,7 +45,24 @@ def _perm_initials() -> tuple[Fq3, Fq3]:
     return rand_fq3(rng), rand_fq3(rng)
 
 
-INSTR_PERM_INITIAL, MEM_PERM_INITIAL = _perm_initials()
+def _perm_initials() -> tuple[Fq3, Fq3]:
+    """(instr_initial, mem_initial), matching the reference's two
+    ``Fq3::rand(ark_std::test_rng())`` draws (trace.rs:82-84).  Evaluated
+    LAZILY (per trace build) so MINISTARK_TPU_BF_INITIALS set after import
+    still takes effect."""
+    import os
+
+    return _perm_initials_for(os.environ.get("MINISTARK_TPU_BF_INITIALS"))
+
+
+def __getattr__(name):
+    # module-level INSTR_PERM_INITIAL / MEM_PERM_INITIAL stay importable
+    # (tests/test_ark_rng.py) but re-read the env toggle on each access
+    if name == "INSTR_PERM_INITIAL":
+        return _perm_initials()[0]
+    if name == "MEM_PERM_INITIAL":
+        return _perm_initials()[1]
+    raise AttributeError(name)
 
 
 class BrainfuckTrace(Trace):
@@ -67,16 +81,18 @@ class BrainfuckTrace(Trace):
         return self.base
 
     def build_extension_columns(self, challenges) -> MatrixExt3:
-        ch = [_dev_scalar(Fq3.from_base(c)) for c in challenges]
-        n = self.base.num_rows
+        # ONE stacked scalar upload (challenges + the two permutation
+        # initials): per-scalar 0-d uploads cost a relay round-trip each
+        # (docs/RESULTS.md); the jitted builder slices limbs back out free.
+        vals = [Fq3.from_base(c) for c in challenges] + list(_perm_initials())
+        flat = np.array([x for v in vals for x in (v.c0.v, v.c1.v, v.c2.v)],
+                        dtype=np.uint64)
+        s_lo = jnp.asarray((flat & 0xFFFFFFFF).astype(np.uint32))
+        s_hi = jnp.asarray((flat >> 32).astype(np.uint32))
         col = lambda i: self.base.column(i)
 
         ext_cols = _build_extension_columns(
-            tuple(col(i) for i in range(T.NUM_BASE_COLUMNS)),
-            tuple(ch),
-            _dev_scalar(INSTR_PERM_INITIAL),
-            _dev_scalar(MEM_PERM_INITIAL),
-        )
+            tuple(col(i) for i in range(T.NUM_BASE_COLUMNS)), s_lo, s_hi)
         return MatrixExt3(*[
             (jnp.stack([c[0] for c in comp_list]), jnp.stack([c[1] for c in comp_list]))
             for comp_list in (
@@ -84,16 +100,19 @@ class BrainfuckTrace(Trace):
         ])
 
 
-def _dev_scalar(v: Fq3) -> fd.Ext3:
-    return tuple(
-        (jnp.asarray(np.uint32(c.v & 0xFFFFFFFF)), jnp.asarray(np.uint32(c.v >> 32)))
-        for c in (v.c0, v.c1, v.c2))
-
-
 @jax.jit
-def _build_extension_columns(base_cols, ch, instr_init, mem_init):
+def _build_extension_columns(base_cols, s_lo, s_hi):
     """Returns the 9 extension columns (list of Ext3 (n,) arrays) in global
-    column order 17..25."""
+    column order 17..25.  ``s_lo``/``s_hi`` stack the challenge scalars
+    followed by the instruction/memory permutation initials (3 limbs each)."""
+    nch = s_lo.shape[0] // 3 - 2
+
+    def scal(i):
+        return tuple((s_lo[3 * i + k], s_hi[3 * i + k]) for k in range(3))
+
+    ch = [scal(i) for i in range(nch)]
+    instr_init = scal(nch)
+    mem_init = scal(nch + 1)
     n = base_cols[0][0].shape[-1]
 
     def bc(e):  # broadcast Ext3 scalar to (n,)
