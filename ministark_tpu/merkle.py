@@ -129,6 +129,21 @@ def build_tree_levels(leaf_digest_words) -> list[np.ndarray]:
 # Digest representation: (n, 8) u32 words [lo0, hi0, lo1, hi1, ...] — the 4
 # digest field elements as little-endian u64s (hash_rpo._digest_bytes layout).
 
+def _rpo_lanes_mode():
+    """'run' (TPU Pallas RPO kernel), 'interpret' (CPU test override via
+    MINISTARK_TPU_RPO=interpret), or None (XLA path).  Same gate shape as
+    _lanes_mode; the kernel needs the lane count to be a 128-multiple."""
+    from . import runtime
+
+    if runtime.spmd():
+        return None
+    if jax.default_backend() != "cpu":
+        return "run"
+    if os.environ.get("MINISTARK_TPU_RPO") == "interpret":
+        return "interpret"
+    return None
+
+
 def _rpo_words(dg):
     """(n, 4) digest limb pairs -> (n, 8) interleaved u32 words."""
     return jnp.stack([dg[0], dg[1]], axis=2).reshape(dg[0].shape[0], 8)
@@ -141,22 +156,36 @@ def _rpo_pairs(words):
 
 def hash_rows_fp_rpo(cols_lo, cols_hi):
     """RPO row hash of an Fp matrix given stacked column limbs (ncols, n)."""
+    cols = [(cols_lo[i], cols_hi[i]) for i in range(cols_lo.shape[0])]
+    mode = _rpo_lanes_mode()
+    if mode is not None and cols_lo.shape[1] % 128 == 0:
+        from .ops import rpo256_pallas as rpl
+
+        # (8, n) lanes -> (n, 8): inside a jitted tree build XLA cancels
+        # this against _rpo_tree_levels_traced_br's leading transpose
+        return jnp.transpose(
+            rpl.hash_columns_lanes(cols, interpret=mode == "interpret"))
     from .ops import rpo256
 
-    cols = [(cols_lo[i], cols_hi[i]) for i in range(cols_lo.shape[0])]
     return _rpo_words(rpo256.hash_elements_batch(cols))
 
 
 def hash_rows_ext3_rpo(c0, c1, c2):
     """RPO row hash of an Fq3 matrix: each element absorbs as its 3 base
     coefficients in order (the canonical flattening `hash_elements` uses)."""
-    from .ops import rpo256
-
     ncols = c0[0].shape[0]
     cols = []
     for i in range(ncols):
         for comp in (c0, c1, c2):
             cols.append((comp[0][i], comp[1][i]))
+    mode = _rpo_lanes_mode()
+    if mode is not None and c0[0].shape[1] % 128 == 0:
+        from .ops import rpo256_pallas as rpl
+
+        return jnp.transpose(
+            rpl.hash_columns_lanes(cols, interpret=mode == "interpret"))
+    from .ops import rpo256
+
     return _rpo_words(rpo256.hash_elements_batch(cols))
 
 
@@ -187,6 +216,21 @@ def _rpo_tree_levels_traced_br(words) -> list:
     tree_levels_lanes_br): siblings are contiguous halves, no strided
     slicing.  Input (n, 8) words in STORAGE order (node bitrev(p) at row
     p); wrap with bitrev_storage=True."""
+    mode = _rpo_lanes_mode()
+    if mode is not None and words.shape[0] % 256 == 0 and words.shape[0] >= 256:
+        from .ops import rpo256_pallas as rpl
+
+        # Pallas merges down to the 128-lane level, XLA merges for the tip
+        lanes = jnp.transpose(words)
+        levels = [lanes]
+        cur = lanes
+        while cur.shape[1] >= 256 and cur.shape[1] % 256 == 0:
+            half = cur.shape[1] // 2
+            cur = rpl.merge_lanes(cur[:, :half], cur[:, half:],
+                                  interpret=mode == "interpret")
+            levels.append(cur)
+        levels.extend(_rpo_tree_levels_traced_br(jnp.transpose(cur))[1:])
+        return levels
     from .ops import rpo256
 
     levels = [jnp.transpose(words)]

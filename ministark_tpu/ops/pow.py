@@ -6,6 +6,8 @@ reference's rayon find_any — any valid nonce verifies)."""
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -55,11 +57,15 @@ def grind(seed: bytes, bits: int) -> int:
 
 # -- RPO-coin grind (hash_rpo.merge_with_int semantics) ----------------------
 
-_RPO_BATCH = 1 << 16  # 12-wide state + 14 MDS einsums per permute: heavier
+
+def _rpo_batch() -> int:
+    # the Pallas permutation kernel sustains much larger batches; the XLA
+    # path (CPU tests) keeps a modest one
+    return (1 << 20) if jax.default_backend() != "cpu" else (1 << 16)
 
 
-@jax.jit
-def _grind_rpo_batch(seed_lo, seed_hi, start_hi, start_lo, bits):
+@functools.partial(jax.jit, static_argnames=("n",))
+def _grind_rpo_batch(seed_lo, seed_hi, start_hi, start_lo, bits, n):
     """RPO PoW: digest = rpo_permute(state) with state[0]=1 (padding flag),
     rate = [seed digest elems | nonce_lo32 | nonce_hi32 | 1 | 0]
     (hash_rpo.merge_with_int).  Leading zeros count the digest's canonical
@@ -67,22 +73,39 @@ def _grind_rpo_batch(seed_lo, seed_hi, start_hi, start_lo, bits):
     byteswap32(hi) to the big-endian word view."""
     from . import rpo256
 
-    n = _RPO_BATCH
     idx = jnp.arange(n, dtype=jnp.uint32)
     nlo = start_lo + idx
     carry = (nlo < start_lo).astype(jnp.uint32)
     nhi = start_hi + carry
 
-    lo = jnp.zeros((n, rpo256.STATE_WIDTH), jnp.uint32)
-    hi = jnp.zeros((n, rpo256.STATE_WIDTH), jnp.uint32)
-    lo = lo.at[:, 0].set(1)  # 6 rate elements -> padding rule applies
-    for i in range(4):
-        lo = lo.at[:, rpo256.CAPACITY + i].set(seed_lo[i])
-        hi = hi.at[:, rpo256.CAPACITY + i].set(seed_hi[i])
-    lo = lo.at[:, 8].set(nlo)   # nonce as two u32 field elements
-    lo = lo.at[:, 9].set(nhi)
-    lo = lo.at[:, 10].set(1)    # padding: single 1 then zeros
-    dg = rpo256.digest(rpo256.permute((lo, hi)))  # (n, 4) limb pairs
+    if jax.default_backend() != "cpu" and n % 128 == 0:
+        # lane-major state straight into the Pallas permutation kernel
+        from . import rpo256_pallas as rpl
+
+        zeros = jnp.zeros((n,), jnp.uint32)
+        ones = jnp.ones((n,), jnp.uint32)
+
+        def bc(s):
+            return jnp.broadcast_to(s, (n,))
+
+        slo = jnp.stack([ones, zeros, zeros, zeros]
+                        + [bc(seed_lo[i]) for i in range(4)]
+                        + [nlo, nhi, ones, zeros])
+        shi = jnp.stack([zeros] * 4 + [bc(seed_hi[i]) for i in range(4)]
+                        + [zeros] * 4)
+        olo, ohi = rpl.permute_lanes(slo, shi)
+        dg = (jnp.transpose(olo[4:8]), jnp.transpose(ohi[4:8]))  # (n, 4)
+    else:
+        lo = jnp.zeros((n, rpo256.STATE_WIDTH), jnp.uint32)
+        hi = jnp.zeros((n, rpo256.STATE_WIDTH), jnp.uint32)
+        lo = lo.at[:, 0].set(1)  # 6 rate elements -> padding rule applies
+        for i in range(4):
+            lo = lo.at[:, rpo256.CAPACITY + i].set(seed_lo[i])
+            hi = hi.at[:, rpo256.CAPACITY + i].set(seed_hi[i])
+        lo = lo.at[:, 8].set(nlo)   # nonce as two u32 field elements
+        lo = lo.at[:, 9].set(nhi)
+        lo = lo.at[:, 10].set(1)    # padding: single 1 then zeros
+        dg = rpo256.digest(rpo256.permute((lo, hi)))  # (n, 4) limb pairs
 
     words = jnp.stack(
         [dsha.byteswap32(dg[0][:, i // 2]) if i % 2 == 0
@@ -102,13 +125,15 @@ def grind_rpo(seed: bytes, bits: int) -> int:
     seed_lo = jnp.asarray(np.array([v & 0xFFFFFFFF for v in vals], np.uint32))
     seed_hi = jnp.asarray(np.array([v >> 32 for v in vals], np.uint32))
     start = 1
+    batch = _rpo_batch()
     while True:
         idx = int(_grind_rpo_batch(
             seed_lo, seed_hi,
             jnp.uint32(start >> 32),
             jnp.uint32(start & 0xFFFFFFFF),
             jnp.int32(bits),
+            n=batch,
         ))
         if idx >= 0:
             return start + idx
-        start += _RPO_BATCH
+        start += batch
