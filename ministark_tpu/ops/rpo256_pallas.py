@@ -49,7 +49,13 @@ from .rpo256 import (
     STATE_WIDTH,
 )
 
-TILE = 256  # lanes per grid step (x8 sublanes on the packed path)
+import os
+
+# Lanes per grid step (x8 sublanes on the packed path).  Measured on chip at
+# 2^23 merges: 128 -> 1372 ms, 256 -> 2017 ms, 512 -> 2702 ms (bigger blocks
+# spill the S-box chain's live temporaries); 64 is below Mosaic's minimum
+# lane tile.
+TILE = int(os.environ.get("MINISTARK_TPU_RPO_TILE", "128"))
 
 _MDS_ROW = [np.uint32(c) for c in MDS_FIRST_ROW]
 _MASK16 = np.uint32(0xFFFF)
