@@ -17,12 +17,22 @@ after one cold prove.  `vs_baseline` = round-3's 3.3 s warm record
 (docs/RESULTS.md) divided by the measured time, so >1 means faster than
 the previous round.
 
+Line 3 — latency metric: warm brainfuck hello_world prove (the reference's
+second headline workload: 17+9 cols Fp/Fq3, blowup 16, 19 queries,
+grind 20, 96-bit security — /root/reference/examples/brainfuck/main.rs:
+89-105), seconds, min over repeats after one cold prove.  `vs_baseline` =
+round-4's 2.67 s warm record (docs/RESULTS.md) divided by the measured
+time.  This workload is small (1024 rows), so it measures the per-proof
+LATENCY floor — transcript round-trips, scalar uploads, dispatch overhead
+— where the fib line measures throughput.
+
 Each measurement runs in a child process with a watchdog: when the
 remote-TPU tunnel is unreachable, jax initialization blocks forever inside
 the axon plugin — the parent kills the child and moves on instead of
 hanging the driver.  On NTT watchdog timeout it falls back to a CPU
 measurement (clearly labelled) so the round still records *a* number; the
-fib line is TPU-only (a CPU prove at 2^24 values is not meaningful).
+fib and brainfuck lines are TPU-only (CPU proves at these configs are not
+meaningful).
 """
 
 from __future__ import annotations
@@ -35,8 +45,10 @@ import time
 
 _NTT_TIMEOUT_S = 1800   # first chained-2^22 compile on the relay takes minutes
 _FIB_TIMEOUT_S = 3600   # cold 2^24-value prove incl. jit compiles
+_BF_TIMEOUT_S = 2400    # cold brainfuck prove incl. jit compiles
 _BASELINE_MELEM_S = 299.5   # BENCH_r01.json
 _BASELINE_FIB_WARM_S = 3.3  # round-3 docs/RESULTS.md warm record
+_BASELINE_BF_WARM_S = 2.67  # round-4 docs/RESULTS.md warm record
 _CHAIN = 8      # transforms fused into one program
 _REPEATS = 5    # timed runs; min is reported
 
@@ -118,6 +130,35 @@ def _measure_fib():
     }), flush=True)
 
 
+def _measure_brainfuck():
+    from ministark_tpu.models.brainfuck.air import BrainfuckClaim
+    from ministark_tpu.models.brainfuck.cli import OPTIONS
+    from ministark_tpu.models.brainfuck.trace import BrainfuckTrace
+    from ministark_tpu.models.brainfuck.vm import simulate
+
+    src = open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "programs", "hello_world.bf")).read()
+    tables, output = simulate(src, b"")
+    trace = BrainfuckTrace(tables)
+    claim = BrainfuckClaim(src, b"", output)
+
+    proof = claim.prove(OPTIONS, trace)  # cold (compiles; persistent cache)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        proof = claim.prove(OPTIONS, trace)
+        times.append(time.perf_counter() - t0)
+    claim.verify(proof, 96)  # the measured proves must actually verify
+
+    warm_s = min(times)
+    print(json.dumps({
+        "metric": "brainfuck hello_world prove, 96-bit (warm)",
+        "value": round(warm_s, 3),
+        "unit": "s",
+        "vs_baseline": round(_BASELINE_BF_WARM_S / warm_s, 3),
+    }), flush=True)
+
+
 def _child_env(cpu: bool):
     env = dict(os.environ, MINISTARK_BENCH_CHILD="1")
     if cpu:
@@ -153,15 +194,19 @@ def main():
     if mode == "fib":
         _measure_fib()
         return
+    if mode == "bf":
+        _measure_brainfuck()
+        return
 
     ntt_ok = _run_child("ntt", _NTT_TIMEOUT_S)
     if not ntt_ok:
         # CPU fallback: scrubbed env so the axon plugin can't block jax init.
         ntt_ok = _run_child("ntt", 3 * _NTT_TIMEOUT_S, cpu=True)
 
+    bf_ok = _run_child("bf", _BF_TIMEOUT_S)
     fib_ok = _run_child("fib", _FIB_TIMEOUT_S)
 
-    sys.exit(0 if (ntt_ok or fib_ok) else 1)
+    sys.exit(0 if (ntt_ok or bf_ok or fib_ok) else 1)
 
 
 if __name__ == "__main__":

@@ -78,6 +78,32 @@ def test_hash_columns_lanes_matches_host():
             assert got == want, f"ncols={ncols} row={r}"
 
 
+def test_commit_matrix_rpo_kernel_dispatch(monkeypatch):
+    """merkle.commit_matrix_fp with the RPO hash produces the same tree
+    through the Pallas kernel path (MINISTARK_TPU_RPO=interpret) as through
+    the XLA path — root and proof bytes identical."""
+    from ministark_tpu import hash_rpo, merkle
+
+    n, ncols = 512, 3
+    vals = RNG.integers(0, P, size=(ncols, n), dtype=np.uint64)
+    lo, hi = map(jnp.asarray, fd.pack_np(vals))
+
+    merkle._COMMIT_PROGRAMS.pop(("rpo-fp", (ncols, n), False), None)
+    tree_xla = merkle.commit_matrix_fp(lo, hi, hashfn=hash_rpo)
+    root_xla = tree_xla.root()
+    proof_xla = tree_xla.prove([3, 100, 511])
+
+    monkeypatch.setenv("MINISTARK_TPU_RPO", "interpret")
+    merkle._COMMIT_PROGRAMS.pop(("rpo-fp", (ncols, n), False), None)
+    tree_k = merkle.commit_matrix_fp(lo, hi, hashfn=hash_rpo)
+    assert tree_k.root() == root_xla
+    pk = tree_k.prove([3, 100, 511])
+    assert (pk.nodes, pk.initial_leaves, pk.sibling_leaves, pk.height) == (
+        proof_xla.nodes, proof_xla.initial_leaves, proof_xla.sibling_leaves,
+        proof_xla.height)
+    merkle._COMMIT_PROGRAMS.pop(("rpo-fp", (ncols, n), False), None)
+
+
 def test_merge_and_tree_match_xla_path():
     """The lane-major Pallas tree equals the XLA tree level-by-level."""
     from ministark_tpu.ops import rpo256
