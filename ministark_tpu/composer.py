@@ -389,17 +389,22 @@ class DeepPolyComposer:
         """Pallas-fused DEEP LDE (ops/deep_pallas.py): one VMEM pass per term
         group instead of one HBM pass per uint32 op.  For base-field AIRs
         (fq == fp, e.g. fib) the whole pipeline stays in Fp — a further 3-9x
-        saving over the Ext3-promoted path."""
-        from .ops.deep_pallas import deep_lde_fused
+        saving over the Ext3-promoted path.
 
-        trace_pts, point_keys, _invs, exec_oods, comp_oods = self._cache
+        The whole phase — column/inverse slicing, every term-group kernel,
+        degree adjust — is ONE jitted device program (deep_lde_onejit):
+        the raw committed matrices and the stacked barycentric inverses go
+        in, the DEEP LDE comes out.  Per-column host-side slicing used to
+        cost ~300 relay dispatches (~0.6 s warm at brainfuck's 2^14 domain).
+        """
+        from .ops.deep_pallas import deep_lde_onejit
+
+        trace_pts, point_keys, invs, exec_oods, comp_oods = self._cache
         dom = self.lde_dom
         n = dom.size
         num_base = self.base_lde.num_cols
         fq_is_ext = self.fq_is_ext
 
-        col_planes = {}
-        inv_planes = {}
         scalar_vals: list[int] = []
 
         def add_scalar(v) -> int:
@@ -411,43 +416,20 @@ class DeepPolyComposer:
                 scalar_vals.append(v.v if isinstance(v, Fp) else int(v))
             return idx
 
-        def inv_of(key):
-            if key not in inv_planes:
-                inv_planes[key] = self._inv_slice(key)
-            return key
-
-        terms = []
+        plan = []
         for j, (col, off, _y) in enumerate(trace_pts):
-            if col < num_base:
-                ck = ("b", col)
-                if ck not in col_planes:
-                    m = self.base_lde
-                    col_planes[ck] = (m.lo[col], m.hi[col])
-            else:
-                ck = ("e", col - num_base)
-                if ck not in col_planes:
-                    e = self.extension_lde.as_ext3()
-                    c = col - num_base
-                    col_planes[ck] = tuple((comp[0][c], comp[1][c])
-                                           for comp in e)
+            kind, c = ("b", col) if col < num_base else ("e", col - num_base)
             ood = exec_oods[j] if fq_is_ext else _as_fq3(exec_oods[j]).c0
-            terms.append((ck, inv_of(("t", off)), add_scalar(ood),
-                          add_scalar(coeffs.execution_trace[j])))
+            plan.append((kind, c, point_keys.index(("t", off)),
+                         add_scalar(ood),
+                         add_scalar(coeffs.execution_trace[j])))
 
         comp_is_ext = hasattr(self.composition_lde, "as_ext3")
+        inv_c = point_keys.index(("c", 0))
         for k in range(self.composition_lde.num_cols):
-            ck = ("c", k)
-            if ck not in col_planes:
-                if comp_is_ext:
-                    e = self.composition_lde.as_ext3()
-                    col_planes[ck] = tuple((comp[0][k], comp[1][k])
-                                           for comp in e)
-                else:
-                    m = self.composition_lde
-                    col_planes[ck] = (m.lo[k], m.hi[k])
             ood = comp_oods[k] if fq_is_ext else _as_fq3(comp_oods[k]).c0
-            terms.append((ck, inv_of(("c", 0)), add_scalar(ood),
-                          add_scalar(coeffs.composition_trace[k])))
+            plan.append(("c", k, inv_c, add_scalar(ood),
+                         add_scalar(coeffs.composition_trace[k])))
 
         degree_vals: list[int] = []
         for v in coeffs.degree:
@@ -460,11 +442,16 @@ class DeepPolyComposer:
         plan_key = (type(self.air.config).__qualname__
                     if not isinstance(self.air.config, type)
                     else self.air.config.__qualname__, n, fq_is_ext)
-        out = deep_lde_fused(
-            n=n, fq_is_ext=fq_is_ext, terms=terms, col_planes=col_planes,
-            inv_planes=inv_planes, scalar_vals=scalar_vals,
-            degree_vals=degree_vals, x=dom.elements_device(),
-            plan_key=plan_key, interpret=interpret)
+        m = self.composition_lde
+        out = deep_lde_onejit(
+            n=n, fq_is_ext=fq_is_ext, comp_is_ext=comp_is_ext,
+            plan=tuple(plan), npts=len(point_keys),
+            base=(self.base_lde.lo, self.base_lde.hi),
+            ext=(self.extension_lde.as_ext3()
+                 if self.extension_lde is not None else ()),
+            comp=(m.as_ext3() if comp_is_ext else (m.lo, m.hi)),
+            invs=invs, scalar_vals=scalar_vals, degree_vals=degree_vals,
+            x=dom.elements_device(), plan_key=plan_key, interpret=interpret)
         if fq_is_ext:
             return out
         zeros = jnp.zeros_like(out[0])

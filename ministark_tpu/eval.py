@@ -229,6 +229,32 @@ class VectorEvaluator:
         return out.v
 
 
+def as_col_views(base_in):
+    """Per-column [(lo, hi), ...] views of trace columns.
+
+    Accepts either that list directly or a whole (ncols, n) limb-matrix pair
+    — the prover passes the matrix form so the slicing happens INSIDE the
+    jitted consumers (traced slices are free; eager per-column slices cost a
+    relay dispatch each, ~2 ms through the remote-TPU tunnel)."""
+    if (isinstance(base_in, tuple) and len(base_in) == 2
+            and getattr(base_in[0], "ndim", 1) == 2):
+        lo, hi = base_in
+        return [(lo[c], hi[c]) for c in range(lo.shape[0])]
+    return list(base_in)
+
+
+def as_ext_col_views(ext_in):
+    """Ext3 analogue of as_col_views: accepts a list of per-column Ext3
+    values or an Ext3 of (ncols, n) limb matrices."""
+    if not ext_in:
+        return []
+    if getattr(ext_in[0][0], "ndim", 1) == 2:
+        comps = ext_in
+        nc = comps[0][0].shape[0]
+        return [tuple((c[0][k], c[1][k]) for c in comps) for k in range(nc)]
+    return list(ext_in)
+
+
 def _structural_key(node, memo):
     """Structural hash key of a DAG node (for cross-term denominator dedup)."""
     nid = id(node)
@@ -348,8 +374,9 @@ def eval_composition(
         trace_len = air.trace_len
 
         def run_denoms(x_lde_in, base_in, ext_in, packed_in):
-            c = {"x_lde": x_lde_in, "base_cols": base_in,
-                 "ext_cols": ext_in, "trace_len": trace_len,
+            c = {"x_lde": x_lde_in, "base_cols": as_col_views(base_in),
+                 "ext_cols": as_ext_col_views(ext_in),
+                 "trace_len": trace_len,
                  **_unpack_scalars(packed_in, layout)}
             out = {}
             for k, dnode in denom_items:
@@ -393,8 +420,8 @@ def eval_composition(
         def run_term(x_lde_in, base_in, ext_in, invs, packed_in):
             c = dict(ctx)
             c["x_lde"] = x_lde_in
-            c["base_cols"] = base_in
-            c["ext_cols"] = ext_in
+            c["base_cols"] = as_col_views(base_in)
+            c["ext_cols"] = as_ext_col_views(ext_in)
             c.update(_unpack_scalars(packed_in, layout))
             c["_div_inverses"] = invs
             c["_key_memo"] = key_memo
@@ -493,9 +520,9 @@ def eval_composition_numpy(air, composition_coeffs, challenges, hints,
     ce_blowup = air.ce_blowup_factor
 
     x = nf.from_limbs(*x_lde)
-    base = [nf.from_limbs(*c) for c in base_cols]
+    base = [nf.from_limbs(*c) for c in as_col_views(base_cols)]
     ext = [tuple(nf.from_limbs(*comp) for comp in c)
-           for c in (ext_cols or [])]
+           for c in as_ext_col_views(ext_cols or [])]
 
     def scal(v):
         """Host scalar -> ('fp', u64) or ('fq', 3-tuple)."""

@@ -125,6 +125,7 @@ except ImportError:  # pragma: no cover
     from jax._src.core import Tracer as _Tracer
 
 _POWERS_CACHE: dict = {}
+_ELEMENTS_CACHE: dict = {}
 _POWERS_CACHE_MAX = 256
 
 
@@ -440,11 +441,22 @@ class Domain:
         return Fp(self.offset * pow(self.group_gen, i, P))
 
     def elements_device(self) -> fd.Fp2:
-        """offset * g^i for all i, natural order, on device."""
+        """offset * g^i for all i, natural order, on device (cached per
+        (size, offset) — called every prove by eval/OOD/DEEP)."""
+        key = (self.size, self.offset)
+        hit = _ELEMENTS_CACHE.get(key)
+        if hit is not None:
+            return hit
         gpow = powers(self.group_gen, self.size)
         if self.offset == 1:
             return gpow
-        return fd.mul(gpow, fd.full(gpow[0].shape, self.offset))
+        out = fd.mul(gpow, fd.full(gpow[0].shape, self.offset))
+        if isinstance(out[0], _Tracer):
+            return out  # traced inline inside an outer jit; not cacheable
+        if len(_ELEMENTS_CACHE) >= _POWERS_CACHE_MAX:
+            _ELEMENTS_CACHE.pop(next(iter(_ELEMENTS_CACHE)))
+        _ELEMENTS_CACHE[key] = out
+        return out
 
     def get_coset(self, offset: int) -> "Domain":
         return Domain(self.size, offset)

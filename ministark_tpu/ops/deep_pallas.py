@@ -175,15 +175,15 @@ def _shape2(a, rows):
 
 
 def deep_lde_fused(*, n, fq_is_ext, terms, col_planes, inv_planes,
-                   scalar_vals, degree_vals, x, plan_key, interpret=False):
-    """Fused DEEP LDE.
+                   s_lo, s_hi, d_lo, d_hi, x, plan_key, interpret=False):
+    """Fused DEEP LDE core (traceable: runs inside `_deep_program`'s jit).
 
     terms: list of (col_key, inv_key, ood_index, alpha_index) where indices
-        address scalar_vals (int values; 1 slot for base, 3 for ext).
+        address the packed scalar table rows (1 slot for base, 3 for ext).
     col_planes: dict col_key -> Fp2 (n,) | Ext3 (n,); kind inferred.
     inv_planes: dict inv_key -> Fp2 | Ext3 (matching fq_is_ext).
-    scalar_vals: flat list of ints already slot-expanded (lo/hi packed here).
-    degree_vals: (da, db) slot-expanded ints (2 or 6 values).
+    s_lo/s_hi: (S, 1) uint32 packed transcript scalars (alphas + OOD values).
+    d_lo/d_hi: (2 or 6, 1) uint32 packed degree-adjust pair.
     x: Fp2 (n,) LDE domain points.
     plan_key: hashable AIR/shape identity for the kernel cache.
     Returns Ext3 if fq_is_ext else Fp2, shape (n,).
@@ -192,10 +192,6 @@ def deep_lde_fused(*, n, fq_is_ext, terms, col_planes, inv_planes,
     rows = n // BLOCK_C
     group_size = GROUP_EXT if fq_is_ext else GROUP_BASE
     n_out = 6 if fq_is_ext else 2
-
-    s_lo = jnp.asarray(np.array([[v & 0xFFFFFFFF] for v in scalar_vals],
-                                np.uint32))
-    s_hi = jnp.asarray(np.array([[v >> 32] for v in scalar_vals], np.uint32))
 
     def planes_of(v):
         if len(v) == 3 and isinstance(v[0], tuple):
@@ -252,9 +248,6 @@ def deep_lde_fused(*, n, fq_is_ext, terms, col_planes, inv_planes,
         acc_flat = list(out)
 
     # degree adjustment
-    d_lo = jnp.asarray(np.array([[v & 0xFFFFFFFF] for v in degree_vals],
-                                np.uint32))
-    d_hi = jnp.asarray(np.array([[v >> 32] for v in degree_vals], np.uint32))
     fkey = ("finish", fq_is_ext)
     if fkey not in _KERNEL_CACHE:
         fn = _finish_kernel_ext() if fq_is_ext else _finish_kernel_base()
@@ -267,3 +260,81 @@ def deep_lde_fused(*, n, fq_is_ext, terms, col_planes, inv_planes,
     if fq_is_ext:
         return tuple((flat[2 * k], flat[2 * k + 1]) for k in range(3))
     return (flat[0], flat[1])
+
+# ---------------------------------------------------------------------------
+# ONE-DISPATCH wrapper: slicing + every group kernel + finish in a single jit
+# ---------------------------------------------------------------------------
+# The first cut of this op sliced each trace/composition column and inverse
+# row into its own device array on the host, then launched one pallas_call
+# per term group — ~300 tiny dispatches per prove.  Through the remote-TPU
+# relay each dispatch carries ~1-2 ms of fixed cost, which made the warm
+# DEEP phase 0.6 s at a 2^14-point domain (brainfuck hello_world) where the
+# arithmetic itself is <5 ms.  Wrapping the WHOLE phase in one jitted
+# program (column slices traced, kernels inlined) collapses it to a single
+# dispatch; transcript scalars stay traced inputs so reproving never
+# recompiles.
+
+
+@functools.lru_cache(maxsize=None)
+def _deep_program(plan, npts, n, fq_is_ext, comp_is_ext, nb, ne, nc,
+                  plan_key, interpret):
+    """plan: tuple of (kind, col, inv_j, ood_slot, alpha_slot); kind in
+    {"b" (base trace), "e" (extension trace), "c" (composition)}; inv_j
+    indexes the stacked (npts, n) barycentric-inverse planes."""
+
+    def prog(base, ext, comp, invs, s_lo, s_hi, d_lo, d_hi, x):
+        col_planes = {}
+        inv_planes = {}
+        terms = []
+        for (kind, col, inv_j, oi, ai) in plan:
+            ck = (kind, col)
+            if ck not in col_planes:
+                if kind == "b":
+                    col_planes[ck] = (base[0][col], base[1][col])
+                elif kind == "e":
+                    col_planes[ck] = tuple((c[0][col], c[1][col])
+                                           for c in ext)
+                elif comp_is_ext:
+                    col_planes[ck] = tuple((c[0][col], c[1][col])
+                                           for c in comp)
+                else:
+                    col_planes[ck] = (comp[0][col], comp[1][col])
+            if inv_j not in inv_planes:
+                if fq_is_ext:
+                    inv_planes[inv_j] = tuple((c[0][inv_j], c[1][inv_j])
+                                              for c in invs)
+                else:
+                    inv_planes[inv_j] = (invs[0][inv_j], invs[1][inv_j])
+            terms.append((ck, inv_j, oi, ai))
+        return deep_lde_fused(
+            n=n, fq_is_ext=fq_is_ext, terms=terms, col_planes=col_planes,
+            inv_planes=inv_planes, s_lo=s_lo, s_hi=s_hi, d_lo=d_lo,
+            d_hi=d_hi, x=x, plan_key=plan_key, interpret=interpret)
+
+    return jax.jit(prog)
+
+
+def _pack_scalar_table(vals):
+    return (jnp.asarray(np.array([[v & 0xFFFFFFFF] for v in vals],
+                                 np.uint32)),
+            jnp.asarray(np.array([[v >> 32] for v in vals], np.uint32)))
+
+
+def deep_lde_onejit(*, n, fq_is_ext, comp_is_ext, plan, npts, base, ext,
+                    comp, invs, scalar_vals, degree_vals, x, plan_key,
+                    interpret=False):
+    """Run the whole fused DEEP LDE as one device program.
+
+    base: Fp2 (nb, n) limb pair; ext: Ext3 of (ne, n) pairs or () when the
+    AIR has no extension trace; comp: (nc, n) planes (Ext3 or Fp2 per
+    comp_is_ext); invs: stacked (npts, n) planes straight from the OOD
+    program; scalar_vals/degree_vals: flat slot-expanded ints.
+    """
+    nb = base[0].shape[0]
+    ne = ext[0][0].shape[0] if ext else 0
+    nc = (comp[0][0] if comp_is_ext else comp[0]).shape[0]
+    prog = _deep_program(tuple(plan), npts, n, fq_is_ext, comp_is_ext,
+                         nb, ne, nc, plan_key, interpret)
+    s_lo, s_hi = _pack_scalar_table(scalar_vals)
+    d_lo, d_hi = _pack_scalar_table(degree_vals)
+    return prog(base, ext, comp, invs, s_lo, s_hi, d_lo, d_hi, x)

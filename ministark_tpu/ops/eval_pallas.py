@@ -301,6 +301,11 @@ def eval_composition_fused(air, composition_coeffs, challenges, hints,
         descrs = tuple(input_descrs)
 
         def driver(x_in, base_in, ext_in, invs_in, slo, shi):
+            from ..eval import as_col_views, as_ext_col_views
+
+            base_in = as_col_views(base_in)
+            ext_in = as_ext_col_views(ext_in)
+
             def shape2(arr):
                 return arr.reshape(rows, BLOCK_C)
 

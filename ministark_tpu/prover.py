@@ -159,8 +159,10 @@ def _default_prove(stark, options: ProofOptions, witness, validate: bool) -> Pro
             base_ce = base_polys.evaluate(ce_dom)
         else:  # executor path: coefficients were never materialized
             base_ce = Matrix(base_lde.lo[:, ::r], base_lde.hi[:, ::r])
-        base_ce_cols = [(base_ce.lo[c], base_ce.hi[c])
-                        for c in range(base_ce.num_cols)]
+        # whole limb matrices, NOT per-column slices: eval's jitted programs
+        # slice columns inside the trace (eager slices cost a relay dispatch
+        # each — ~90 of them for brainfuck's 17+9 columns)
+        base_ce_cols = (base_ce.lo, base_ce.hi)
         ext_ce_cols = None
         if ext_lde is not None:
             if r == 1:
@@ -171,10 +173,7 @@ def _default_prove(stark, options: ProofOptions, witness, validate: bool) -> Pro
                 e = ext_lde.as_ext3()
                 ext_ce = MatrixExt3(*[(c[0][:, ::r], c[1][:, ::r])
                                       for c in e])
-            ec = ext_ce.as_ext3()
-            ext_ce_cols = [
-                tuple((comp[0][c], comp[1][c]) for comp in ec)
-                for c in range(ext_ce.num_cols)]
+            ext_ce_cols = ext_ce.as_ext3()
         num_coeffs = air.num_composition_constraint_coeffs()
         composition_coeffs = channel.public_coin.draw_multiple(num_coeffs)
         comp_evals = eval_composition(

@@ -13,7 +13,7 @@ from ministark_tpu.ark_rng import (
     _chacha_block,
     rand_fp,
     rand_fq3,
-    test_rng,
+    test_rng as ark_test_rng,
 )
 from ministark_tpu.fields.scalar import P
 
@@ -52,16 +52,16 @@ def test_next_u64_block_straddle():
 
 
 def test_fp_rand_is_montgomery_rejection():
-    rng = test_rng()
+    rng = ark_test_rng()
     raw = rng.next_u64()
     assert raw < P  # first draw of this stream happens to land below p
     r_inv = pow(1 << 64, P - 2, P)
-    assert rand_fp(test_rng()).v == raw * r_inv % P
+    assert rand_fp(ark_test_rng()).v == raw * r_inv % P
 
 
 def test_brainfuck_initials_pinned():
     """The two Fq3 draws trace.py seeds the permutation arguments with."""
-    rng = test_rng()
+    rng = ark_test_rng()
     instr = rand_fq3(rng)
     mem = rand_fq3(rng)
     assert (instr.c0.v, instr.c1.v, instr.c2.v) == (
