@@ -83,6 +83,9 @@ class Hints(list):
         return Hints(v for _, v in pairs)
 
 
+_CONSTRAINT_CACHE: dict = {}
+
+
 class Air:
     """Caches the compiled constraint system for (config, trace_len, options).
 
@@ -100,8 +103,22 @@ class Air:
         self.public_inputs = public_inputs
         self.options = options
 
-        self.constraints = config.constraints(trace_len)
-        self.composition_constraint = compose_constraints(trace_len, self.constraints)
+        # Constraint DAGs depend only on (config class, trace_len)
+        # (AirConfig.constraints is a staticmethod of trace_len,
+        # src/air.rs:32), so the symbolic build + CSE — tens of ms of host
+        # Python per Air — is shared across proves/verifies.  Expression
+        # DAGs are immutable after construction (graph_eval memoizes by id
+        # without rewriting), so sharing is safe.
+        ckey = (type(config) if not isinstance(config, type) else config,
+                trace_len)
+        hit = _CONSTRAINT_CACHE.get(ckey)
+        if hit is None:
+            constraints = config.constraints(trace_len)
+            hit = (constraints, compose_constraints(trace_len, constraints))
+            if len(_CONSTRAINT_CACHE) >= 32:
+                _CONSTRAINT_CACHE.pop(next(iter(_CONSTRAINT_CACHE)))
+            _CONSTRAINT_CACHE[ckey] = hit
+        self.constraints, self.composition_constraint = hit
         self.ce_blowup_factor = self.composition_constraint.blowup_factor(trace_len)
         assert self.ce_blowup_factor <= options.lde_blowup_factor, (
             f"ce blowup {self.ce_blowup_factor} exceeds lde blowup "

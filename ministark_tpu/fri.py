@@ -186,7 +186,10 @@ class FriProver:
             _fri_pipeline_tables(n, N, L))
         for rows, levels in layers_out:
             self._append_layer(rows, levels)
-        blk = np.asarray(packed, np.uint32)  # (L, 8 + 2k): root words, alphas
+        # ONE host transfer for the coin block AND the remainder coefficients
+        # (each jax.device_get costs a relay round-trip)
+        blk, remainder = jax.device_get((packed, remainder))
+        blk = np.asarray(blk, np.uint32)  # (L, 8 + 2k): root words, alphas
         k = 3 if self.fq_is_ext else 1
         byteorder = "little" if rpo else "big"
         for i in range(L):

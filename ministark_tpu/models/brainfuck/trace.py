@@ -89,22 +89,23 @@ class BrainfuckTrace(Trace):
                         dtype=np.uint64)
         s_lo = jnp.asarray((flat & 0xFFFFFFFF).astype(np.uint32))
         s_hi = jnp.asarray((flat >> 32).astype(np.uint32))
-        col = lambda i: self.base.column(i)
 
-        ext_cols = _build_extension_columns(
-            tuple(col(i) for i in range(T.NUM_BASE_COLUMNS)), s_lo, s_hi)
-        return MatrixExt3(*[
-            (jnp.stack([c[0] for c in comp_list]), jnp.stack([c[1] for c in comp_list]))
-            for comp_list in (
-                [e[k] for e in ext_cols] for k in range(3))
-        ])
+        # whole limb matrix in, stacked planes out: column slicing and the
+        # final stacks are traced (eager per-column slices cost a relay
+        # dispatch each — 40 of them for the 17 base / 9 ext columns)
+        planes = _build_extension_columns(
+            (self.base.lo, self.base.hi), s_lo, s_hi)
+        return MatrixExt3(*planes)
 
 
 @jax.jit
-def _build_extension_columns(base_cols, s_lo, s_hi):
-    """Returns the 9 extension columns (list of Ext3 (n,) arrays) in global
-    column order 17..25.  ``s_lo``/``s_hi`` stack the challenge scalars
-    followed by the instruction/memory permutation initials (3 limbs each)."""
+def _build_extension_columns(base_mat, s_lo, s_hi):
+    """Returns the 9 extension columns as three stacked (9, n) limb-pair
+    planes, global column order 17..25.  ``s_lo``/``s_hi`` stack the
+    challenge scalars followed by the instruction/memory permutation
+    initials (3 limbs each)."""
+    base_cols = tuple((base_mat[0][i], base_mat[1][i])
+                      for i in range(base_mat[0].shape[0]))
     nch = s_lo.shape[0] // 3 - 2
 
     def scal(i):
@@ -219,10 +220,15 @@ def _build_extension_columns(base_cols, s_lo, s_hi):
     output_eval = affine_scan_ext3(
         a, fd.ext3_from_base(out_val), _zero_scalar(), inclusive=True)
 
-    return [
+    ext_cols = [
         proc_instr_perm, proc_mem_perm, proc_input_eval, proc_output_eval,
         mem_perm, instr_proc_perm, instr_prog_eval, input_eval, output_eval,
     ]
+    # stacked (9, n) limb planes per Ext3 component (traced: free)
+    return tuple(
+        (jnp.stack([c[k][0] for c in ext_cols]),
+         jnp.stack([c[k][1] for c in ext_cols]))
+        for k in range(3))
 
 
 def _zero_scalar() -> fd.Ext3:
