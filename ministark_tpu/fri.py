@@ -299,6 +299,15 @@ class FriProver:
     def _into_proof_bundled(self, positions: list[int], N: int) -> FriProof:
         """Every layer's queried rows AND Merkle nodes in ONE device
         round-trip (merkle.fetch_bundle)."""
+        specs_all, finish = self.decommit_plan(positions)
+        return finish(merkle.fetch_bundle(specs_all))
+
+    def decommit_plan(self, positions: list[int]):
+        """(specs, finish): gather specs for merkle.fetch_bundle plus a
+        finisher turning the fetched blocks into the FriProof.  Lets the
+        prover fuse this decommit with the trace-query fetch into a single
+        device transfer (prover.build_queries)."""
+        N = self.options.folding_factor
         pos = list(positions)
         metas, specs_all = [], []
         for layer in self.layers:
@@ -310,29 +319,35 @@ class FriProver:
             meta, specs = layer.tree.fetch_plan(pos)
             metas.append((meta, len(specs)))
             specs_all.extend(specs)
-        blocks = merkle.fetch_bundle(specs_all)
 
-        proof_layers = []
-        bi = 0
-        for layer, (meta, nspecs) in zip(self.layers, metas):
-            b = blocks[bi].astype(np.uint64)
-            bi += 1
-            comps = [b[2 * k] | (b[2 * k + 1] << np.uint64(32))
-                     for k in range(b.shape[0] // 2)]
-            nrows, width = comps[0].shape
-            if self.fq_is_ext:
-                flattened = [
-                    Fq3(int(comps[0][r, j]), int(comps[1][r, j]),
-                        int(comps[2][r, j]))
-                    for r in range(nrows) for j in range(width)]
-            else:
-                flattened = [Fp(int(comps[0][r, j]))
-                             for r in range(nrows) for j in range(width)]
-            mview = layer.tree.view_from(meta, blocks[bi:bi + nspecs])
-            bi += nspecs
-            proof_layers.append(
-                LayerProof(flattened, mview, layer.tree.root()))
-        return FriProof(proof_layers, self.remainder_coeffs)
+        def finish(blocks) -> FriProof:
+            proof_layers = []
+            bi = 0
+            for layer, (meta, nspecs) in zip(self.layers, metas):
+                b = blocks[bi].astype(np.uint64)
+                bi += 1
+                comps = [b[2 * k] | (b[2 * k + 1] << np.uint64(32))
+                         for k in range(b.shape[0] // 2)]
+                nrows, width = comps[0].shape
+                if self.fq_is_ext:
+                    flattened = [
+                        Fq3(int(comps[0][r, j]), int(comps[1][r, j]),
+                            int(comps[2][r, j]))
+                        for r in range(nrows) for j in range(width)]
+                else:
+                    flattened = [Fp(int(comps[0][r, j]))
+                                 for r in range(nrows) for j in range(width)]
+                mview = layer.tree.view_from(meta, blocks[bi:bi + nspecs])
+                bi += nspecs
+                proof_layers.append(
+                    LayerProof(flattened, mview, layer.tree.root()))
+            return FriProof(proof_layers, self.remainder_coeffs)
+
+        return specs_all, finish
+
+    def decommit_bundleable(self) -> bool:
+        return bool(self.layers) and all(l.tree.device_lanes
+                                         for l in self.layers)
 
 
 # ---------------------------------------------------------------------------

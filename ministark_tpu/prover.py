@@ -246,13 +246,28 @@ def _default_prove(stark, options: ProofOptions, witness, validate: bool) -> Pro
         channel.grind_fri_commitments(grinder=grinder)
 
     query_positions = channel.get_fri_query_positions()
-    with Timer("FRI decommit"):
-        fri_proof = fri_prover.into_proof(query_positions)
-
-    with Timer("Queries"):
-        queries = build_queries(
-            air, base_lde, ext_lde, comp_lde,
-            base_tree, ext_tree, comp_tree, query_positions)
+    trees = [base_tree, comp_tree] + ([ext_tree] if ext_tree else [])
+    fuse_decommits = (fri_prover.decommit_bundleable()
+                      and all(t.device_lanes for t in trees))
+    if fuse_decommits:
+        # FRI layer rows/nodes AND trace query rows/nodes in ONE device
+        # transfer (each fetch_bundle round-trip costs relay latency)
+        with Timer("FRI decommit"):
+            fri_specs, fri_finish = fri_prover.decommit_plan(query_positions)
+            q_specs, q_finish = queries_plan(
+                air, base_lde, ext_lde, comp_lde,
+                base_tree, ext_tree, comp_tree, query_positions)
+            blocks = merkle.fetch_bundle(fri_specs + q_specs)
+            fri_proof = fri_finish(blocks[:len(fri_specs)])
+        with Timer("Queries"):
+            queries = q_finish(blocks[len(fri_specs):])
+    else:
+        with Timer("FRI decommit"):
+            fri_proof = fri_prover.into_proof(query_positions)
+        with Timer("Queries"):
+            queries = build_queries(
+                air, base_lde, ext_lde, comp_lde,
+                base_tree, ext_tree, comp_tree, query_positions)
 
     return Proof(
         options=options,
@@ -320,6 +335,16 @@ def _build_queries_bundled(air, base_lde, ext_lde, comp_lde, base_tree,
                            ext_tree, comp_tree, positions) -> Queries:
     from . import merkle as mk
 
+    specs_all, finish = queries_plan(air, base_lde, ext_lde, comp_lde,
+                                     base_tree, ext_tree, comp_tree,
+                                     positions)
+    return finish(mk.fetch_bundle(specs_all))
+
+
+def queries_plan(air, base_lde, ext_lde, comp_lde, base_tree, ext_tree,
+                 comp_tree, positions):
+    """(specs, finish) pair for the trace-query decommit, so the prover can
+    fuse it with the FRI decommit into one merkle.fetch_bundle transfer."""
     n = base_lde.num_rows
     ridx = [bit_reverse_index(n, p) for p in positions]
 
@@ -337,34 +362,36 @@ def _build_queries_bundled(air, base_lde, ext_lde, comp_lde, base_tree,
         specs_all.extend(specs)
         builders.append(build)
 
-    blocks = mk.fetch_bundle(specs_all)
+    def finish(blocks) -> Queries:
+        values, views = [], []
+        bi = 0
+        for (m, tree), (meta, nspecs), build in zip(mats, metas, builders):
+            b = blocks[bi].astype(np.uint64)
+            bi += 1
+            comps = [b[2 * k] | (b[2 * k + 1] << np.uint64(32))
+                     for k in range(b.shape[0] // 2)]
+            ncols = comps[0].shape[0]
+            values.append([build(comps, c, i)
+                           for i in range(len(positions))
+                           for c in range(ncols)])
+            views.append(tree.view_from(meta, blocks[bi:bi + nspecs]))
+            bi += nspecs
 
-    values, views = [], []
-    bi = 0
-    for (m, tree), (meta, nspecs), build in zip(mats, metas, builders):
-        b = blocks[bi].astype(np.uint64)
-        bi += 1
-        comps = [b[2 * k] | (b[2 * k + 1] << np.uint64(32))
-                 for k in range(b.shape[0] // 2)]
-        ncols = comps[0].shape[0]
-        values.append([build(comps, c, i)
-                       for i in range(len(positions)) for c in range(ncols)])
-        views.append(tree.view_from(meta, blocks[bi:bi + nspecs]))
-        bi += nspecs
+        if ext_lde is not None:
+            base_values, ext_values, comp_values = values
+            base_view, ext_view, comp_view = views
+        else:
+            base_values, comp_values = values
+            base_view, comp_view = views
+            ext_values, ext_view = [], None
 
-    if ext_lde is not None:
-        base_values, ext_values, comp_values = values
-        base_view, ext_view, comp_view = views
-    else:
-        base_values, comp_values = values
-        base_view, comp_view = views
-        ext_values, ext_view = [], None
+        return Queries(
+            base_trace_values=base_values,
+            extension_trace_values=ext_values,
+            composition_trace_values=comp_values,
+            base_trace_proof=base_view,
+            extension_trace_proof=ext_view,
+            composition_trace_proof=comp_view,
+        )
 
-    return Queries(
-        base_trace_values=base_values,
-        extension_trace_values=ext_values,
-        composition_trace_values=comp_values,
-        base_trace_proof=base_view,
-        extension_trace_proof=ext_view,
-        composition_trace_proof=comp_view,
-    )
+    return specs_all, finish
