@@ -239,10 +239,21 @@ def _default_prove(stark, options: ProofOptions, witness, validate: bool) -> Pro
 
     # -- phase 6: PoW + queries (src/prover.rs:157-173) ----------------------
     with Timer("Proof of work"):
-        from . import hash_rpo
+        from . import hash_rpo, native
         coin_hash = channel.public_coin.hashfn
-        grinder = (dpow.grind if coin_hash is H
-                   else dpow.grind_rpo if coin_hash is hash_rpo else None)
+        bits = options.grinding_factor
+        # Small grinds are cheaper on the HOST than one device round-trip:
+        # the native C++ grind runs ~3M hashes/s, so expected work 2^bits
+        # stays under the ~90 ms relay dispatch+readback up to bits ~16
+        # (the reference grinds on CPU always, src/random.rs:48-57).
+        grinder = None
+        if coin_hash is H:
+            if bits <= 16 and native.get_lib() is not None:
+                grinder = native.pow_grind
+            else:
+                grinder = dpow.grind
+        elif coin_hash is hash_rpo:
+            grinder = dpow.grind_rpo
         channel.grind_fri_commitments(grinder=grinder)
 
     query_positions = channel.get_fri_query_positions()
