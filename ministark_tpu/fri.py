@@ -151,16 +151,18 @@ class FriProver:
         if not self.fq_is_ext:
             evals = evals[0]  # Fp2; c1/c2 are structurally zero
         N = self.options.folding_factor
-        # The fused pipeline's on-device Fiat-Shamir coin speaks SHA-256;
-        # RPO-coin configurations take the per-layer path (one root
-        # readback per layer — the coin reseed is the host's).  RPO TREES
-        # fuse fine: the device tree build is plain jnp (einsum MDS) and
-        # the device coin absorbs the RPO root's raw bytes.
-        coin_is_sha = getattr(channel.public_coin, "hashfn", None) is merkle.H
-        if (merkle._lanes_mode() is not None and coin_is_sha
-                and self.executor is None
-                and self.hashfn in (merkle.H, hash_rpo)
-                and self.options.num_layers(n) >= 1):
+        # The fused pipeline's on-device Fiat-Shamir coin speaks SHA-256 and
+        # RPO-256 (ops/coin.py): SHA coin fuses with SHA or RPO trees; the
+        # fully-algebraic coin (coin_hash = hash_rpo) fuses when the trees
+        # are RPO too — its reseed absorbs the root's 4 digest ELEMENTS, so
+        # a SHA root (arbitrary bytes, possibly >= p) stays per-layer.
+        coin_hash = getattr(channel.public_coin, "hashfn", None)
+        coin_is_sha = coin_hash is merkle.H
+        coin_is_rpo = coin_hash is hash_rpo
+        if (merkle._lanes_mode() is not None and self.executor is None
+                and self.options.num_layers(n) >= 1
+                and ((coin_is_sha and self.hashfn in (merkle.H, hash_rpo))
+                     or (coin_is_rpo and self.hashfn is hash_rpo))):
             return self._build_layers_fused(channel, evals, n, N)
         for _ in range(self.options.num_layers(n)):
             evals = self._build_layer(channel, evals, n, N)
@@ -175,15 +177,19 @@ class FriProver:
         cost a relay round-trip each; moving the coin on-device removes them
         all.  The host coin then replays the transcript from the L roots —
         one small readback — and cross-checks every device-drawn alpha."""
+        from . import hash_rpo
         from .ops import coin as dcoin
 
         interpret = merkle._lanes_mode() == "interpret"
         rpo = self.hashfn is not merkle.H
+        rpo_coin = getattr(channel.public_coin, "hashfn", None) is hash_rpo
         L = self.options.num_layers(n)
-        prog = _fri_pipeline_program(n, N, L, self.fq_is_ext, interpret, rpo)
+        prog = _fri_pipeline_program(n, N, L, self.fq_is_ext, interpret, rpo,
+                                     rpo_coin)
+        seed_words = (dcoin.rpo_seed_to_words if rpo_coin
+                      else dcoin.seed_to_words)(channel.public_coin.seed)
         layers_out, remainder, packed = prog(
-            evals, dcoin.seed_to_words(channel.public_coin.seed),
-            _fri_pipeline_tables(n, N, L))
+            evals, seed_words, _fri_pipeline_tables(n, N, L))
         for rows, levels in layers_out:
             self._append_layer(rows, levels)
         # ONE host transfer for the coin block AND the remainder coefficients
@@ -411,7 +417,8 @@ def _fri_pipeline_tables(n: int, N: int, L: int):
 
 
 def _fri_pipeline_program(n: int, N: int, L: int, fq_is_ext: bool,
-                          interpret: bool, rpo: bool = False):
+                          interpret: bool, rpo: bool = False,
+                          rpo_coin: bool = False):
     """ONE jitted program for the whole FRI commit phase (L >= 1 layers):
 
       commit layer 0 -> reseed(root_0) -> draw alpha_0 -> fold ->
@@ -423,7 +430,7 @@ def _fri_pipeline_program(n: int, N: int, L: int, fq_is_ext: bool,
     (rows, levels) device arrays, the remainder coeffs, and one packed
     (L, 8 + 2k) u32 array of [root words | alpha limbs] per layer — the
     only bytes the host needs, in a single transfer."""
-    key = ("pipeline", n, N, L, fq_is_ext, interpret, rpo)
+    key = ("pipeline", n, N, L, fq_is_ext, interpret, rpo, rpo_coin)
     if key not in _FRI_PROGRAMS:
         from .ops import coin as dcoin
         from .ops import sha256 as dsha
@@ -431,24 +438,31 @@ def _fri_pipeline_program(n: int, N: int, L: int, fq_is_ext: bool,
         doms = [(Domain(n // N ** i), Domain(n // N ** (i + 1)))
                 for i in range(L)]
         placeholder = fd.ones((1,))
+        # the fully-algebraic coin reseeds/draws by RPO sponge; its state
+        # words use the RPO levels' [lo, hi]-interleaved element layout, so
+        # the root feeds it verbatim
+        reseed = dcoin.rpo_reseed if rpo_coin else dcoin.reseed
+        draw_fps = dcoin.rpo_draw_fps if rpo_coin else dcoin.draw_fps
 
         def root_for_coin(levels):
-            # the coin absorbs the digest's raw 32 bytes; SHA levels hold
-            # big-endian stream words, RPO levels little-endian ones
+            # the SHA coin absorbs the digest's raw 32 bytes; SHA levels
+            # hold big-endian stream words, RPO levels little-endian ones
             root = levels[-1][:, 0]
+            if rpo_coin:
+                return root
             return dsha.byteswap32(root) if rpo else root
 
         def prog(evals, seed_words, tbls):
             rows, levels = _commit_rows_traced(evals, n, N, fq_is_ext,
                                                interpret, rpo)
             out_layers = [(rows, levels)]
-            seed = dcoin.reseed(seed_words, root_for_coin(levels))
+            seed = reseed(seed_words, root_for_coin(levels))
             alpha_words = []
             m = n
             for i in range(1, L + 1):
                 dom_n, dom_m = doms[i - 1]
                 itbl, itmat, ipost, ftbl, ftmat = tbls[i - 1]
-                draws = dcoin.draw_fps(seed, 3 if fq_is_ext else 1)
+                draws = draw_fps(seed, 3 if fq_is_ext else 1)
                 alpha_words.append(jnp.stack(
                     [w for d in draws for w in d]))
                 if fq_is_ext:
@@ -467,7 +481,7 @@ def _fri_pipeline_program(n: int, N: int, L: int, fq_is_ext: bool,
                     rows, levels = _commit_rows_traced(
                         evals, m // N, N, fq_is_ext, interpret, rpo)
                     out_layers.append((rows, levels))
-                    seed = dcoin.reseed(seed, root_for_coin(levels))
+                    seed = reseed(seed, root_for_coin(levels))
                 else:
                     remainder = folded
                 m //= N

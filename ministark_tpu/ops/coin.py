@@ -71,3 +71,61 @@ def seed_to_words(seed: bytes):
 def alpha_canonical_int(a) -> int:
     """Host value of a drawn (lo, hi) scalar (for the replay cross-check)."""
     return int(np.asarray(a[0])) | (int(np.asarray(a[1])) << 32)
+
+
+# ---------------------------------------------------------------------------
+# RPO coin (PublicCoinImpl<F, Rpo256>: merkle_hash = coin_hash = hash_rpo)
+# ---------------------------------------------------------------------------
+# An RPO digest is 4 CANONICAL Goldilocks elements serialized LE
+# (hash_rpo._digest_bytes), and the coin's byte stream pops from the END —
+# so each next_u64 is exactly one digest element: big-endian assembly of the
+# reversed LE bytes reproduces the element value, in order [e3, e2, e1, e0].
+# Elements are always < p, so ark's rejection loop NEVER rejects here; a
+# draw is just element * R^{-1} (the Montgomery-limb interpretation, same as
+# the SHA coin).  State layout on device: an (8,) u32 word vector
+# [e0_lo, e0_hi, ..., e3_lo, e3_hi] — the same interleaving the RPO Merkle
+# levels store, so a tree root feeds the coin without reshuffling.
+
+
+def rpo_seed_to_words(seed: bytes):
+    """(8,) u32 interleaved [lo, hi] words of the 4 LE digest elements."""
+    return jnp.asarray(np.frombuffer(seed, dtype="<u4").copy())
+
+
+def _rpo_words_to_state_rate(words_a, words_b):
+    """Two 4-element digests -> (1, 8) rate limb planes."""
+    lo = jnp.concatenate([words_a[0::2], words_b[0::2]])[None, :]
+    hi = jnp.concatenate([words_a[1::2], words_b[1::2]])[None, :]
+    return lo, hi
+
+
+def rpo_reseed(seed_words, digest_words):
+    """seed' = hash_rpo.merge(seed, digest); both (8,) interleaved words."""
+    from . import rpo256
+
+    state = rpo256._empty_state(1, padded=False)
+    d = rpo256.digest(rpo256.absorb_chunk(
+        state, _rpo_words_to_state_rate(seed_words, digest_words)))
+    return jnp.stack([d[0][0], d[1][0]], axis=1).reshape(8)
+
+
+def rpo_draw_fps(seed_words, k: int) -> list[fd.Fp2]:
+    """First k canonical Fp draws after a reseed (counter 1..): the
+    hash_rpo.merge_with_int sponge — rate = seed elements + [counter_lo32,
+    counter_hi32] + 1-padding, capacity flag set.  k <= 8 (two digests)."""
+    from . import rpo256
+
+    assert 1 <= k <= 8
+    los, his = [], []
+    slo, shi = seed_words[0::2], seed_words[1::2]
+    for counter in range(1, 2 + (k - 1) // 4):
+        lo = jnp.concatenate([slo, jnp.asarray(
+            np.array([counter, 0, 1, 0], np.uint32))])[None, :]
+        hi = jnp.concatenate([shi, jnp.zeros((4,), fd.U32)])[None, :]
+        state = rpo256._empty_state(1, padded=True)
+        d = rpo256.digest(rpo256.absorb_chunk(state, (lo, hi)))
+        for idx in (3, 2, 1, 0):  # pop order: last element first
+            los.append(d[0][0, idx])
+            his.append(d[1][0, idx])
+    rinv = fd.full((), R_MONT_INV)
+    return [fd.mul((los[j], his[j]), rinv) for j in range(k)]

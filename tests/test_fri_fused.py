@@ -20,10 +20,12 @@ class _CoinChannel:
     fused pipeline derives alphas ON DEVICE from the same seed, so both
     paths must walk identical coin states for the roots to agree."""
 
-    def __init__(self, fq):
+    def __init__(self, fq, hashfn=None):
+        from ministark_tpu import hash as H
         from ministark_tpu.random import PublicCoin
 
-        self.public_coin = PublicCoin(b"\x42" * 32, field=fq)
+        self.public_coin = PublicCoin(b"\x42" * 32, field=fq,
+                                      hashfn=hashfn or H)
         self.roots = []
         self.remainder = None
 
@@ -190,6 +192,42 @@ def test_fused_commit_matches_host(monkeypatch, no_persistent_cache):
     monkeypatch.setenv("MINISTARK_TPU_LANES", "interpret")
     t4 = merkle.commit_matrix_ext3(c0, c1, c2)
     assert t3.root() == t4.root()
+
+
+@pytest.mark.slow
+def test_fused_layers_rpo_coin_match_host(monkeypatch, no_persistent_cache):
+    """Fully-algebraic fused pipeline — RPO-256 trees AND an RPO-256 public
+    coin (ops/coin.py rpo_reseed/rpo_draw_fps on device): identical
+    roots/remainder/proof bytes to the per-layer host path."""
+    from ministark_tpu import hash_rpo
+
+    rng = np.random.default_rng(23)
+    n, N = 1 << 9, 4
+    opts = FriOptions(folding_factor=N, max_remainder_coeffs=16,
+                      blowup_factor=4)
+    evals = _rand_codeword_fp(rng, n, opts.blowup_factor)
+    import jax.numpy as jnp
+    z = (jnp.zeros((n,), jnp.uint32), jnp.zeros((n,), jnp.uint32))
+    triple = (evals, z, z)
+
+    ch1 = _CoinChannel(Fp, hashfn=hash_rpo)
+    p1 = FriProver(opts, False, hashfn=hash_rpo)
+    p1.build_layers(ch1, triple)  # lanes off -> per-layer host coin
+    positions = sorted({int(v) for v in rng.integers(0, n, 9)})
+    proof1 = p1.into_proof(positions)
+    a1 = ch1.public_coin.draw()  # post-remainder state must agree too
+
+    monkeypatch.setenv("MINISTARK_TPU_LANES", "interpret")
+    ch2 = _CoinChannel(Fp, hashfn=hash_rpo)
+    p2 = FriProver(opts, False, hashfn=hash_rpo)
+    p2.build_layers(ch2, triple)  # fused: device RPO coin + replay check
+    proof2 = p2.into_proof(positions)
+    a2 = ch2.public_coin.draw()
+
+    assert ch1.roots == ch2.roots
+    assert ch1.remainder == ch2.remainder
+    assert a1 == a2
+    assert _proof_bytes(proof1, Fp) == _proof_bytes(proof2, Fp)
 
 
 @pytest.mark.slow
